@@ -1,16 +1,12 @@
 """OODS quotient ("FRI answer") evaluation, batched over proofs x queries.
 
-Per first-layer log size L the queried trace rows are combined into one
-secure-field quotient value per query:
-
-  answer = sum_batches denom_inv(batch, point) *
-           sum_cols (col_val * c - (a * domain_y + b))
-
-with per-(batch, column) line coefficients (a, b, c) built from the sampled
-value / sample point and a running alpha = -2u * random_coeff**k chain.
-
-Mirrors /root/reference/components/recursive/answer/src/data_structures.rs
-(new_vec grouping :42-63, line coeffs :128-189, accumulation :70-126).
+TPU-first restructure of the reference quotient math
+(/root/reference/components/recursive/answer/src/data_structures.rs):
+columns are STACKED on a trailing axis — line coefficients for a whole
+sample batch are computed with (B, C)-shaped CM31/QM31 tensor ops, the
+random-coefficient powers come from one scan, and the per-query numerator is
+a log-depth modular tree reduction over the column axis.  The traced program
+is O(#batches) bodies, independent of the column count.
 """
 
 from __future__ import annotations
@@ -32,21 +28,25 @@ from .spec import (
 from . import points as points_mod
 
 
+def _xp(arr):
+    if isinstance(arr, np.ndarray):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
 def column_trace_log(spec: VerifierSpec, tree: int, col: int) -> int:
-    """Which trace (plonk/poseidon) a column belongs to, for mask steps."""
     n_plonk = (N_PREPROCESSED_PLONK, N_TRACE_PLONK, N_INTERACTION_PLONK, 0)[tree]
     if tree == 3:
         return spec.composition_log_degree_bound - 1
     return spec.log_size_plonk if col < n_plonk else spec.log_size_poseidon
 
 
-def group_batches(spec: VerifierSpec, g: int) -> List[Tuple[Tuple[int, int], List[Tuple[int, int]]]]:
-    """Sample batches for log-size group g, in first-encounter order.
-
-    Returns [(batch_key, [(local_col_idx, flat_sample_idx), ...]), ...] where
-    batch_key is (shift, trace_log) — shift 0 keys the OODS batch.
-    """
-    batches: List[Tuple[Tuple[int, int], List[Tuple[int, int]]]] = []
+def group_batches(spec: VerifierSpec, g: int):
+    """[(batch_key, [(local_col, flat_sample_idx), ...])...] in encounter
+    order; key (0, 0) is the OODS batch."""
+    batches = []
     index: Dict[Tuple[int, int], int] = {}
     for local, (tree, col) in enumerate(spec.group_columns[g]):
         shifts = spec.sample_shifts_per_column[tree][col]
@@ -60,14 +60,42 @@ def group_batches(spec: VerifierSpec, g: int) -> List[Tuple[Tuple[int, int], Lis
     return batches
 
 
-def _bc(x: QM31) -> QM31:
-    """Broadcast a (B,) QM31 against (B, Q) arrays."""
-    return QM31(x.a[:, None], x.b[:, None], x.c[:, None], x.d[:, None])
+def m31_modsum(x, axis: int):
+    """Modular sum along an axis via log-depth pairwise reduction."""
+    xp = _xp(x)
+    x = xp.moveaxis(x, axis, -1)
+    while x.shape[-1] > 1:
+        n = x.shape[-1]
+        half = n // 2
+        lo = m31.add(x[..., :half], x[..., half : 2 * half])
+        if n % 2:
+            lo = xp.concatenate([lo, x[..., -1:]], axis=-1)
+        x = lo
+    return x[..., 0]
 
 
-def _sample(samples_flat, idx: int) -> QM31:
-    s = samples_flat[:, idx]
-    return QM31(s[:, 0], s[:, 1], s[:, 2], s[:, 3])
+def q_modsum(x: QM31, axis: int) -> QM31:
+    return QM31(*(m31_modsum(comp, axis) for comp in x))
+
+
+def rc_power_chain(rc: QM31, n: int) -> QM31:
+    """Stacked rc**k for k=0..n-1; components shaped (n,) + rc.shape."""
+    xp = _xp(rc.a)
+    if xp is np:
+        comps = [np.empty((n,) + rc.a.shape, np.uint32) for _ in range(4)]
+        cur = q.q_one(rc.a)
+        for k in range(n):
+            for ci in range(4):
+                comps[ci][k] = cur[ci]
+            cur = q.q_mul(cur, rc)
+        return QM31(*comps)
+    import jax
+
+    def body(cur, _):
+        return q.q_mul(cur, rc), cur
+
+    _, ys = jax.lax.scan(body, q.q_one(rc.a), None, length=n)
+    return QM31(*ys)
 
 
 def fri_answers_for_group(
@@ -79,68 +107,79 @@ def fri_answers_for_group(
     queried_rows,
     dom_x,
     dom_y,
+    rc_powers: QM31 = None,
+    rc_power_base: int = 0,
 ) -> QM31:
-    """Quotient values for group g.
-
-    queried_rows: (B, Q, C) uint32 trace values in group column order.
-    dom_x/dom_y: (B, Q) domain point coords at this log size.
-    Returns QM31 of (B, Q)."""
+    """Quotient values for group g; queried_rows (B, Q, C) in group column
+    order; dom_x/dom_y (B, Q).  Returns QM31 of (B, Q)."""
+    xp = _xp(dom_x)
     batches = group_batches(spec, g)
+    n_total = sum(len(cols) for _, cols in batches)
+    if rc_powers is None:
+        rc_powers = rc_power_chain(random_coeff, n_total)
+        rc_power_base = 0
 
-    # Per-batch sample points (QM31 coords, (B,) SoA).
-    batch_points = []
-    for (shift, tlog), _ in batches:
-        batch_points.append(
+    # -2u constant
+    neg2u = QM31(
+        np.uint32(0), np.uint32(0), np.uint32(P - 2), np.uint32(0)
+    )
+
+    acc = q.q_zero(dom_x)
+    k = rc_power_base
+    for (shift, tlog), cols in batches:
+        point = (
             oods if shift == 0 else points_mod.shifted_oods_point(oods, shift, tlog)
         )
+        px, py = point
+        C = len(cols)
+        local_idx = np.array([c for c, _ in cols], np.int64)
+        sample_idx = np.array([s for _, s in cols], np.int64)
 
-    # Line coefficients with the running alpha chain (alpha starts at -2u).
-    alpha = QM31(
-        np.uint32(0) * random_coeff.a,
-        np.uint32(0) * random_coeff.a,
-        np.uint32(0) * random_coeff.a + np.uint32(P - 2),
-        np.uint32(0) * random_coeff.a,
-    )
-    line_coeffs = []  # per batch: list of (A, Bc, C) QM31 (B,)
-    for bi, ((_, _), cols) in enumerate(batches):
-        px, py = batch_points[bi]
-        y0 = CM31(py.a, py.b)
-        y1 = CM31(py.c, py.d)
-        coeffs = []
-        for _local, sample_idx in cols:
-            v = _sample(samples_flat, sample_idx)
-            v0 = CM31(v.a, v.b)
-            v1 = CM31(v.c, v.d)
-            a = v1
-            c = y1
-            b = q.c_sub(q.c_mul(v0, y1), q.c_mul(v1, y0))
-            coeffs.append(
-                (
-                    q.q_mul_cm31(alpha, a),
-                    q.q_mul_cm31(alpha, b),
-                    q.q_mul_cm31(alpha, c),
-                )
-            )
-            alpha = q.q_mul(alpha, random_coeff)
-        line_coeffs.append(coeffs)
+        # sampled values, stacked (B, C)
+        sv = samples_flat[:, xp.asarray(sample_idx)]  # (B, C, 4)
+        v0 = CM31(sv[..., 0], sv[..., 1])
+        v1 = CM31(sv[..., 2], sv[..., 3])
+        y0 = CM31(py.a[:, None], py.b[:, None])
+        y1 = CM31(py.c[:, None], py.d[:, None])
 
-    # Accumulate per query.
-    acc = q.q_zero(dom_x)
-    for bi, ((_, _), cols) in enumerate(batches):
-        px, py = batch_points[bi]
+        # alpha_k = -2u * rc^k for this batch's k-range, (B, C)
+        apow = QM31(*(xp.moveaxis(comp[k : k + C], 0, -1) for comp in rc_powers))
+        alpha = q.q_mul(apow, _q_bcast_scalar(neg2u, apow.a))
+        k += C
+
+        a_c = v1
+        c_c = CM31(y1.re + 0 * v1.re, y1.im + 0 * v1.im)
+        b_c = q.c_sub(q.c_mul(v0, y1), q.c_mul(v1, y0))
+        A = q.q_mul_cm31(alpha, a_c)  # (B, C)
+        Bq = q.q_mul_cm31(alpha, b_c)
+        Cq = q.q_mul_cm31(alpha, c_c)
+
+        # terms over (B, Q, C): Cq*val - (A*dom_y + Bq)
+        val = queried_rows[:, :, xp.asarray(local_idx)]  # (B, Q, C)
+        Ae = QM31(*(comp[:, None, :] for comp in A))
+        Be = QM31(*(comp[:, None, :] for comp in Bq))
+        Ce = QM31(*(comp[:, None, :] for comp in Cq))
+        dy = dom_y[:, :, None]
+        term = q.q_sub(q.q_mul_m31(Ce, val), q.q_add(q.q_mul_m31(Ae, dy), Be))
+        numerator = q_modsum(term, axis=2)  # (B, Q)
+
+        # denominator inverse (CM31 over (B, Q))
         prx, pix = CM31(px.a[:, None], px.b[:, None]), CM31(px.c[:, None], px.d[:, None])
         pry, piy = CM31(py.a[:, None], py.b[:, None]), CM31(py.c[:, None], py.d[:, None])
-        ta = q.c_mul(CM31(m31.sub(prx.re, dom_x), m31.sub(prx.im, 0 * dom_x)), piy)
-        tb = q.c_mul(CM31(m31.sub(pry.re, dom_y), m31.sub(pry.im, 0 * dom_y)), pix)
+        ta = q.c_mul(CM31(m31.sub(prx.re, dom_x), prx.im + 0 * dom_x), piy)
+        tb = q.c_mul(CM31(m31.sub(pry.re, dom_y), pry.im + 0 * dom_y), pix)
         denom_inv = q.c_inv(q.c_sub(ta, tb))
 
-        numerator = q.q_zero(dom_x)
-        for (local, _), (A, Bc, C) in zip(cols, line_coeffs[bi]):
-            val = queried_rows[:, :, local]
-            term = q.q_sub(
-                q.q_mul_m31(_bc(C), val),
-                q.q_add(q.q_mul_m31(_bc(A), dom_y), _bc(Bc)),
-            )
-            numerator = q.q_add(numerator, term)
         acc = q.q_add(acc, q.q_mul_cm31(numerator, denom_inv))
     return acc
+
+
+def _q_bcast_scalar(x: QM31, like) -> QM31:
+    return QM31(*(like * 0 + comp for comp in x))
+
+
+def total_rc_powers(spec: VerifierSpec) -> int:
+    return max(
+        sum(len(cols) for _, cols in group_batches(spec, g))
+        for g in range(len(spec.all_log_sizes))
+    )
