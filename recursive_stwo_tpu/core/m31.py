@@ -108,8 +108,12 @@ def pow_const(a, e: int):
 
 
 def inv(a):
-    """a**(p-2); p-2 = 2**31 - 3.  ~37 muls via a short addition chain."""
-    # Chain from stwo: compute a**(2**31 - 3).
+    """a**(p-2); p-2 = 2**31 - 3.
+
+    jax path: square-and-multiply as a lax.scan over the exponent bits
+    (tiny traced program); numpy path: short addition chain (~37 muls)."""
+    if type(a).__module__.startswith("jax"):
+        return _inv_jax(a)
     t0 = mul(pow2k(a, 2), a)   # a**5
     t1 = mul(pow2k(t0, 1), t0)  # a**15
     t2 = mul(pow2k(t1, 3), t0)  # a**125
@@ -117,6 +121,25 @@ def inv(a):
     t4 = mul(pow2k(t3, 8), t3)  # a**65535
     t5 = mul(pow2k(t4, 8), t3)  # a**16777215
     return mul(pow2k(t5, 7), t2)  # a**(2**31-3)
+
+
+_P_MINUS_2_BITS = np.array(
+    [(2147483645 >> k) & 1 for k in range(31)], dtype=bool
+)
+
+
+def _inv_jax(a):
+    import jax
+    import jax.numpy as jnp
+
+    def body(carry, bit):
+        res, base = carry
+        res = jnp.where(bit, mul(res, base), res)
+        return (res, mul(base, base)), None
+
+    init = (jnp.ones_like(a), a)
+    (res, _), _ = jax.lax.scan(body, init, jnp.asarray(_P_MINUS_2_BITS))
+    return res
 
 
 def pow2k(a, k: int):

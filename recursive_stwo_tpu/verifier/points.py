@@ -90,24 +90,68 @@ def half_index_points(
     coset = Coset.half_odds(M)
     x = xp.full(qmax.shape, np.uint32(coset.initial[0]))
     y = xp.full(qmax.shape, np.uint32(coset.initial[1]))
+
     # A_M = initial + sum_{k=1}^{M-1} bit_k * point(2**(30-k))
-    for k in range(1, M):
-        bit = (qmax >> np.uint32(k)) & np.uint32(1)
-        c = circle.point_at_index(1 << (30 - k))
-        x, y = _cond_add_const(xp, x, y, bit, c)
+    consts = np.array(
+        [circle.point_at_index(1 << (30 - k)) for k in range(1, M)], np.uint32
+    )
+    bits_k = [(qmax >> np.uint32(k)) & np.uint32(1) for k in range(1, M)]
+    if xp is np:
+        for k in range(M - 1):
+            x, y = _cond_add_const(xp, x, y, bits_k[k], tuple(consts[k]))
+    else:
+        import jax
+
+        bit_stack = xp.stack(bits_k, axis=0)
+
+        def add_body(carry, inp):
+            cx, cy, bit = inp
+            px, py = carry
+            ax = m31.sub(m31.mul(px, cx), m31.mul(py, cy))
+            ay = m31.add(m31.mul(px, cy), m31.mul(py, cx))
+            cond = (bit != 0)
+            return (xp.where(cond, ax, px), xp.where(cond, ay, py)), None
+
+        cst = xp.asarray(consts)
+        (x, y), _ = jax.lax.scan(
+            add_body, (x, y), (cst[:, 0], cst[:, 1], bit_stack)
+        )
 
     out = {M: (x, y)}
-    qcur = qmax
-    for L in range(M - 1, min_log - 1, -1):
-        bit1 = (qcur >> np.uint32(1)) & np.uint32(1)
-        x, y = _cond_add_const(xp, x, y, bit1, _J)
-        # double
-        x, y = (
-            m31.sub(m31.mul(x, x), m31.mul(y, y)),
-            m31.double(m31.mul(x, y)),
-        )
-        qcur = qcur >> np.uint32(1)
-        out[L] = (x, y)
+    n_down = M - min_log
+    if n_down > 0:
+        # bit_1 of q_{L+1} = bit (M - L) of qmax   (q_{L+1} = qmax >> (M-L-1))
+        bits1 = [
+            (qmax >> np.uint32(M - L)) & np.uint32(1)
+            for L in range(M - 1, min_log - 1, -1)
+        ]
+        jx, jy = np.uint32(_J[0]), np.uint32(_J[1])
+
+        def down_body(carry, bit):
+            px, py = carry
+            ax = m31.sub(m31.mul(px, jx), m31.mul(py, jy))
+            ay = m31.add(m31.mul(px, jy), m31.mul(py, jx))
+            cond = (bit != 0)
+            px = xp.where(cond, ax, px)
+            py = xp.where(cond, ay, py)
+            nx = m31.sub(m31.mul(px, px), m31.mul(py, py))
+            ny = m31.double(m31.mul(px, py))
+            return (nx, ny), (nx, ny)
+
+        if xp is np:
+            carry = (x, y)
+            ys = []
+            for b in bits1:
+                carry, o = down_body(carry, b)
+                ys.append(o)
+            for i, L in enumerate(range(M - 1, min_log - 1, -1)):
+                out[L] = ys[i]
+        else:
+            import jax
+
+            _, (oxs, oys) = jax.lax.scan(down_body, (x, y), xp.stack(bits1, axis=0))
+            for i, L in enumerate(range(M - 1, min_log - 1, -1)):
+                out[L] = (oxs[i], oys[i])
     return out
 
 
@@ -122,6 +166,17 @@ def domain_point(half_pt, queries_at_log):
 
 
 def repeated_double_x(x: QM31, n: int) -> QM31:
+    if n == 0:
+        return x
+    if not isinstance(x.a, np.ndarray):
+        import jax
+
+        def body(xc, _):
+            sq = q.q_mul(xc, xc)
+            return q.q_sub(q.q_add(sq, sq), q.q_one(xc.a)), None
+
+        x, _ = jax.lax.scan(body, x, None, length=n)
+        return x
     for _ in range(n):
         sq = q.q_mul(x, x)
         x = q.q_sub(q.q_add(sq, sq), q.q_one(x.a))

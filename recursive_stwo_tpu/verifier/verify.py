@@ -3,16 +3,16 @@
 verify_batch(spec, pa, inputs) runs the full verification — transcript,
 PoW, total-sum, composition, 4 commitment-tree decommitments, quotients,
 FRI folding — as one jit-compilable function over batched uint32 tensors.
+All Merkle hashing is consolidated into three scans (see hashplan.py).
 Returns a dict of named (B,) boolean checks plus the conjunction 'ok'.
 
 Equivalent end-to-end behavior to the reference's native
 verify_plonk_with_poseidon (stwo) as replayed by its hint+gadget pipeline
-(see /root/reference/components/hints/src/*.rs).
-"""
+(see /root/reference/components/hints/src/*.rs)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -20,18 +20,15 @@ from ..core import qm31 as q
 from ..core.qm31 import QM31
 from . import composition as composition_mod
 from . import fri as fri_mod
-from . import merkle, points, quotients, transcript
+from . import hashplan, points, quotients, transcript
 from .arrays import ProofArrays
 from .spec import VerifierSpec
 
-# Default public inputs: wire 1 = one (as in single-proof verification);
-# recursive layers also pin wires 2, 3 to i, j.
 INPUTS_ONE = ((1, (1, 0, 0, 0)),)
 INPUTS_RECURSIVE = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
 
 
 def _q_const(vals, like) -> QM31:
-    xp = np if isinstance(like, np.ndarray) else __import__("jax.numpy", fromlist=["x"])
     return QM31(*(like * 0 + np.uint32(v) for v in vals))
 
 
@@ -63,8 +60,9 @@ def verify_batch(
         q.q_add(input_sum, QM31(*(pa.plonk_total_sum[:, i] for i in range(4)))),
         QM31(*(pa.poseidon_total_sum[:, i] for i in range(4))),
     )
-    ok_sum = (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
-    checks["total_sum"] = ok_sum
+    checks["total_sum"] = (
+        (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
+    )
 
     # composition polynomial at the OODS point
     oods = points.oods_point_from_t(fs.oods_t)
@@ -78,20 +76,8 @@ def verify_batch(
         oods,
     )
 
-    # commitment-tree decommitments
-    half_pts = points.half_index_points(spec, fs.raw_queries, spec.final_fold_log)
-    for t in range(4):
-        depth = spec.tree_max_domain_log[t]
-        qt = transcript.queries_at_log_size(spec, fs.raw_queries, depth)
-        checks[f"tree{t}"] = merkle.verify_single_paths(
-            depth,
-            qt,
-            pa.tree_paths[t].sibling_hashes,
-            pa.tree_paths[t].columns,
-            pa.commitments[:, t],
-        )
-
     # quotients (FRI answers) per first-layer log size
+    half_pts = points.half_index_points(spec, fs.raw_queries, spec.final_fold_log)
     answers = []
     for g, L in enumerate(spec.all_log_sizes):
         qL = transcript.queries_at_log_size(spec, fs.raw_queries, L)
@@ -111,12 +97,81 @@ def verify_batch(
             )
         )
 
-    # FRI folding + last layer
-    fri_checks = fri_mod.verify_fri(spec, fs, pa, answers, half_pts)
-    checks["fri_first_layer"] = fri_checks[0]
-    for i in range(spec.n_inner_layers):
-        checks[f"fri_inner{i}"] = fri_checks[1 + i]
-    checks["fri_last_layer"] = fri_checks[-1]
+    # FRI fold math + walk assembly
+    fri_checks, pair_jobs = fri_mod.verify_fri(spec, fs, pa, answers, half_pts)
+    checks.update(fri_checks)
+
+    # ---- hash planning: one absorb scan + one leaf batch + two walk scans
+    chains = []
+    chain_idx = {}
+
+    def add_chain(key, arr):
+        chain_idx[key] = len(chains)
+        chains.append(arr)
+
+    for t in range(4):
+        for L, cols in pa.tree_paths[t].columns.items():
+            add_chain(("tree", t, L), cols)
+    for j, job in enumerate(pair_jobs):
+        for L in job["self_columns"]:
+            add_chain(("self", j, L), job["self_columns"][L])
+            add_chain(("sib", j, L), job["sibling_columns"][L])
+
+    digests = hashplan.absorb_many(chains)
+
+    def dig(key):
+        return digests[chain_idx[key]]
+
+    leaf_keys = [("tree", t, spec.tree_max_domain_log[t]) for t in range(4)]
+    for j, job in enumerate(pair_jobs):
+        leaf_keys.append(("self", j, job["depth"]))
+        leaf_keys.append(("sib", j, job["depth"]))
+    leaf_hashes = hashplan.leaf_rate_many([dig(k) for k in leaf_keys])
+    leaf = dict(zip(leaf_keys, leaf_hashes))
+
+    single = []
+    for t in range(4):
+        depth = spec.tree_max_domain_log[t]
+        single.append(
+            hashplan.SingleWalk(
+                depth=depth,
+                queries=transcript.queries_at_log_size(spec, fs.raw_queries, depth),
+                sibling_hashes=pa.tree_paths[t].sibling_hashes,
+                col_caps={
+                    L: dig(("tree", t, L))
+                    for L in pa.tree_paths[t].columns
+                    if L != depth
+                },
+                leaf=leaf[("tree", t, depth)],
+                root=pa.commitments[:, t],
+            )
+        )
+    oks = hashplan.single_walks(single)
+    for t in range(4):
+        checks[f"tree{t}"] = oks[t]
+
+    pairs = []
+    for j, job in enumerate(pair_jobs):
+        d = job["depth"]
+        pairs.append(
+            hashplan.PairWalk(
+                depth=d,
+                queries=job["queries"],
+                sibling_hashes=job["sibling_hashes"],
+                self_caps={
+                    L: dig(("self", j, L)) for L in job["self_columns"] if L != d
+                },
+                sib_caps={
+                    L: dig(("sib", j, L)) for L in job["sibling_columns"] if L != d
+                },
+                self_leaf=leaf[("self", j, d)],
+                sib_leaf=leaf[("sib", j, d)],
+                root=job["root"],
+            )
+        )
+    poks = hashplan.pair_walks(pairs)
+    for j, job in enumerate(pair_jobs):
+        checks[f"fri_{job['kind']}"] = poks[j]
 
     ok = None
     for v in checks.values():
