@@ -245,7 +245,7 @@ def _qm31_of(arr4) -> QM31:
 
 def _qm31_tuple(x: QM31, i=None):
     if i is None:
-        return (int(x.a), int(x.b), int(x.c), int(x.d))
+        return tuple(int(np.asarray(v).ravel()[0]) for v in x)
     return (int(x.a[i]), int(x.b[i]), int(x.c[i]), int(x.d[i]))
 
 

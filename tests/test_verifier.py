@@ -1,0 +1,88 @@
+"""End-to-end verification against the reference fixtures (numpy path).
+
+These are the framework's primary bit-exactness tests: the host prepare
+pipeline reconstructs every Merkle root of the stwo-generated proofs, and
+verify_batch re-derives and checks the complete transcript.
+"""
+
+import numpy as np
+import pytest
+
+from recursive_stwo_tpu.proof.parse import parse_plonk_with_poseidon_proof
+from recursive_stwo_tpu.verifier import hints, transcript, verify
+from recursive_stwo_tpu.verifier.spec import VerifierSpec
+
+FIXTURES = "/root/reference/components/test_data"
+
+
+def _load(name):
+    with open(f"{FIXTURES}/{name}.bin", "rb") as f:
+        return parse_plonk_with_poseidon_proof(f.read())
+
+
+@pytest.fixture(scope="module")
+def small_proof():
+    return _load("small_proof")
+
+
+def test_parse_small_proof(small_proof):
+    p = small_proof
+    assert (p.log_size_plonk, p.log_size_poseidon) == (4, 8)
+    assert p.config.pow_bits == 20
+    assert [len(t) for t in p.stark_proof.sampled_values] == [50, 60, 16, 8]
+
+
+def test_verify_small_proof(small_proof):
+    spec = VerifierSpec.from_proof(small_proof)
+    pa = hints.prepare(spec, [small_proof])
+    checks = verify.verify_batch(spec, pa, verify.INPUTS_ONE)
+    failing = [k for k, v in checks.items() if not bool(v[0])]
+    assert not failing, failing
+
+
+def test_verify_recursive_proof():
+    p = _load("recursive_proof_16_15")
+    spec = VerifierSpec.from_proof(p)
+    assert (spec.n_inner_layers, spec.max_first_layer_log) == (8, 22)
+    pa = hints.prepare(spec, [p])
+    checks = verify.verify_batch(spec, pa, verify.INPUTS_RECURSIVE)
+    failing = [k for k, v in checks.items() if not bool(v[0])]
+    assert not failing, failing
+
+
+def test_pow_check_selectivity(small_proof):
+    spec = VerifierSpec.from_proof(small_proof)
+    pa = hints.prepare(spec, [small_proof])
+    fs = transcript.run_transcript(spec, pa)
+    assert transcript.pow_check(spec, fs)[0]
+    # flipping the nonce must break the 20-bit PoW
+    bad = pa._replace(nonce_limbs=pa.nonce_limbs ^ np.uint32(1))
+    fs_bad = transcript.run_transcript(spec, bad)
+    assert not transcript.pow_check(spec, fs_bad)[0]
+
+
+def test_corrupted_proof_rejected(small_proof):
+    p = _load("small_proof")
+    p.stark_proof.sampled_values[1][0] = p.stark_proof.sampled_values[1][0].copy()
+    p.stark_proof.sampled_values[1][0][0, 0] ^= 1
+    spec = VerifierSpec.from_proof(p)
+    with pytest.raises(AssertionError):
+        # hint expansion re-derives the transcript; a corrupted sampled value
+        # shifts the queries and the Merkle reconstruction fails
+        hints.prepare(spec, [p])
+
+
+def test_wrong_public_inputs_fail(small_proof):
+    spec = VerifierSpec.from_proof(small_proof)
+    pa = hints.prepare(spec, [small_proof])
+    checks = verify.verify_batch(spec, pa, (((1, (2, 0, 0, 0))),))
+    assert not bool(checks["total_sum"][0])
+    assert not bool(checks["ok"][0])
+
+
+def test_batch_of_two(small_proof):
+    spec = VerifierSpec.from_proof(small_proof)
+    pa = hints.prepare(spec, [small_proof, small_proof])
+    checks = verify.verify_batch(spec, pa, verify.INPUTS_ONE)
+    assert checks["ok"].shape == (2,)
+    assert bool(checks["ok"].all())
