@@ -62,7 +62,9 @@ class M31Var:
         return cls(cs, 1, 1)
 
     # -- arithmetic --------------------------------------------------------
-    def __add__(self, rhs: "M31Var") -> "M31Var":
+    def __add__(self, rhs):
+        if not isinstance(rhs, M31Var):  # CM31Var / QM31Var: delegate
+            return rhs + self
         return M31Var(
             self.cs,
             self.value + rhs.value,
@@ -74,10 +76,14 @@ class M31Var:
             self.cs, -self.value, self.cs.mul_constant(self.variable, P - 1)
         )
 
-    def __sub__(self, rhs: "M31Var") -> "M31Var":
+    def __sub__(self, rhs):
+        if not isinstance(rhs, M31Var):
+            return (-rhs) + self
         return self + (-rhs)
 
-    def __mul__(self, rhs: "M31Var") -> "M31Var":
+    def __mul__(self, rhs):
+        if not isinstance(rhs, M31Var):  # CM31Var / QM31Var: delegate
+            return rhs * self
         return M31Var(
             self.cs,
             self.value * rhs.value,
