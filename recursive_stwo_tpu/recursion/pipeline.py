@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import numpy as np
+
 from ..cs.system import PlonkWithPoseidonCS
 from ..gadgets.fields import QM31Var
 from ..proof.containers import PlonkWithPoseidonProof
@@ -88,4 +90,93 @@ def build_verifier_circuit(
         "proof_var": proof_var,
         "fs_results": fs_results,
         "answer_results": answer_results,
+    }
+
+
+def build_last_circuit(
+    proof: PlonkWithPoseidonProof,
+    inner_inputs: List[Tuple[int, tuple]],
+    finalize: bool = True,
+    cross_check: bool = True,
+):
+    """Verify `proof` inside a PlonkWithoutPoseidon circuit with all
+    Fiat-Shamir/decommitment data as packed public inputs (the last-layer
+    flow, examples/last-layer/src/main.rs:30-95).
+
+    Returns (cs, results).  The public-input vector follows the reference
+    assembly order (main.rs:113-186): 1, i, j are pinned; then t,
+    sampled-hash (2), sums (2), z, alpha, random coeffs (2), packed
+    queries, fri_alphas, packed decommit columns, pair-proof columns.
+    """
+    from ..cs.system import PlonkWithoutPoseidonCS
+    from . import last as last_mod
+
+    spec = VerifierSpec.from_proof(proof)
+    pa = hints_mod.prepare(spec, [proof])
+    fs = transcript.run_transcript(spec, pa)
+    native_answers = (
+        hints_mod.host_fri_answers(spec, fs, pa, pa.tree_paths)
+        if cross_check
+        else None
+    )
+
+    cs = PlonkWithoutPoseidonCS()
+
+    fs_input = last_mod.LastFiatShamirInput(spec, proof, fs)
+    fs_input_var = last_mod.LastFiatShamirInputVar(cs, fs_input)
+
+    tree_columns = [
+        {lvl: np.asarray(v)[0] for lvl, v in pa.tree_paths[t].columns.items()}
+        for t in range(4)
+    ]
+    decommit_input_var = last_mod.LastDecommitInputVar(
+        cs, tree_columns, spec.n_queries
+    )
+    first_layer_vars = last_mod.alloc_pair_inputs(
+        cs, pa.first_layer_paths, spec.n_queries
+    )
+    inner_layer_vars = [
+        last_mod.alloc_pair_inputs(cs, pp, spec.n_queries)
+        for pp in pa.inner_layer_paths
+    ]
+
+    proof_var = last_mod.LastProofVar(cs, proof)
+    fs_results = last_mod.LastFiatShamirResults.compute(
+        proof_var, fs_input_var, inner_inputs
+    )
+    last_mod.LastCompositionCheck.compute(
+        spec,
+        fs_results.lookup_elements,
+        fs_results.random_coeff,
+        fs_results.oods_point,
+        proof_var,
+    )
+    answer_results = last_mod.LastAnswerResults.compute(
+        spec,
+        fs_results,
+        decommit_input_var,
+        tree_columns,
+        proof_var,
+        native_answers,
+    )
+    last_mod.LastFoldingResults.compute(
+        spec,
+        proof_var,
+        fs_results,
+        answer_results,
+        first_layer_vars,
+        inner_layer_vars,
+    )
+
+    if finalize:
+        cs.pad()
+        cs.check_arithmetics()
+        cs.populate_logup_arguments()
+
+    return cs, {
+        "spec": spec,
+        "proof_var": proof_var,
+        "fs_results": fs_results,
+        "answer_results": answer_results,
+        "fs_input": fs_input,
     }
