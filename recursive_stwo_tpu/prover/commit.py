@@ -1,0 +1,127 @@
+"""Merkle commitment over mixed-size column evaluations (stwo layout).
+
+A commitment tree holds M31 columns grouped by domain log size: level L of
+the tree has 2^L nodes; a node absorbs (children-pair) then the columns of
+log size L at its index (hash semantics identical to
+verifier/hints.hash_node, fixture-validated).
+
+`decommit` emits the shared-ancestor witness format the framework's own
+hint expansion (`verifier.hints.expand_single_paths`) consumes — i.e. the
+stwo `MerkleDecommitment { hash_witness, column_witness }` with
+column_witness empty and all touched column values in the queried-values
+stream.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core import poseidon2
+from ..proof.containers import MerkleDecommitment
+
+
+def _hash_leaf_level(columns: np.ndarray) -> np.ndarray:
+    """(n_cols, N) -> (N, 8) leaf hashes (vectorized hash_node(None, cols))."""
+    n_cols, N = columns.shape
+    digest = np.zeros((N, 8), np.uint32)
+    for ci in range(0, n_cols, 8):
+        chunk = columns[ci : ci + 8].T  # (N, <=8)
+        if chunk.shape[1] < 8:
+            chunk = np.pad(chunk, ((0, 0), (0, 8 - chunk.shape[1])))
+        digest = poseidon2.permute(
+            np.concatenate([chunk.astype(np.uint32), digest], axis=1)
+        )[:, 8:]
+    return poseidon2.permute(
+        np.concatenate([np.zeros((N, 8), np.uint32), digest], axis=1)
+    )[:, :8]
+
+
+def _hash_node_level(
+    children: np.ndarray, columns: np.ndarray | None
+) -> np.ndarray:
+    """children (2N, 8) -> (N, 8); columns (n_cols, N) absorbed if given."""
+    N = children.shape[0] // 2
+    pairs = children.reshape(N, 16).astype(np.uint32)
+    h = poseidon2.permute(pairs)[:, :8]
+    if columns is not None and columns.shape[0]:
+        digest = np.zeros((N, 8), np.uint32)
+        n_cols = columns.shape[0]
+        for ci in range(0, n_cols, 8):
+            chunk = columns[ci : ci + 8].T
+            if chunk.shape[1] < 8:
+                chunk = np.pad(chunk, ((0, 0), (0, 8 - chunk.shape[1])))
+            digest = poseidon2.permute(
+                np.concatenate([chunk.astype(np.uint32), digest], axis=1)
+            )[:, 8:]
+        h = poseidon2.permute(np.concatenate([h, digest], axis=1))[:, :8]
+    return h
+
+
+class CommittedTree:
+    """columns_by_log: {log_size: (n_cols, 2^log_size) uint32}."""
+
+    def __init__(self, columns_by_log: Dict[int, np.ndarray]):
+        self.columns_by_log = {
+            int(k): np.asarray(v, np.uint32) for k, v in columns_by_log.items()
+        }
+        self.max_log = max(self.columns_by_log)
+        self.levels: List[np.ndarray] = []  # index 0 = leaf level hashes
+
+        h = _hash_leaf_level(self.columns_by_log[self.max_log])
+        self.levels.append(h)
+        for L in range(self.max_log - 1, -1, -1):
+            h = _hash_node_level(h, self.columns_by_log.get(L))
+            self.levels.append(h)
+        assert self.levels[-1].shape[0] == 1
+
+    @property
+    def root(self) -> np.ndarray:
+        return self.levels[-1][0]
+
+    def n_columns_per_log_size(self) -> Dict[int, int]:
+        return {L: c.shape[0] for L, c in self.columns_by_log.items()}
+
+    def decommit(self, raw_queries: List[int]) -> Tuple[np.ndarray, MerkleDecommitment]:
+        """(queried_values stream, decommitment) for the given (unsorted,
+        possibly duplicated) leaf queries — inverse of
+        verifier/hints.expand_single_paths."""
+        queries = sorted(set(int(q) for q in raw_queries))
+        values: List[int] = []
+        hash_witness: List[np.ndarray] = []
+
+        top_cols = self.columns_by_log[self.max_log]
+        for qq in queries:
+            values.extend(int(v) for v in top_cols[:, qq])
+
+        computed = set(queries)  # node indices at the current level
+        positions = queries
+        for i in range(self.max_log):
+            level_log = self.max_log - 1 - i
+            cols = self.columns_by_log.get(level_log)
+            parents: List[int] = []
+            seen = set()
+            for position in positions:
+                parent = position >> 1
+                if parent in seen:
+                    continue
+                seen.add(parent)
+                if cols is not None:
+                    values.extend(int(v) for v in cols[:, parent])
+                sibling = position ^ 1
+                if sibling not in computed:
+                    hash_witness.append(self.levels[i][sibling])
+                parents.append(parent)
+            computed = seen
+            positions = sorted(parents)
+
+        decommitment = MerkleDecommitment(
+            hash_witness=(
+                np.stack(hash_witness)
+                if hash_witness
+                else np.zeros((0, 8), np.uint32)
+            ),
+            column_witness=np.zeros(0, np.uint32),
+        )
+        return np.array(values, np.uint32), decommitment
