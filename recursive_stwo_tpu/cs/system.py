@@ -214,7 +214,7 @@ class PlonkWithPoseidonCS(_BaseCS):
                 (0, 0, 0, 0), (PAD_C1, PAD_C1, PAD_C2, PAD_C3), 0, False
             )
         n = len(self.a_wire)
-        padded = 1 << (n - 1).bit_length()
+        padded = max(N_LANES, 1 << (n - 1).bit_length())
         for _ in range(n, padded):
             self._raw_row(0, 0, 0, 1, 0, 0)
 
@@ -513,7 +513,7 @@ class PlonkWithoutPoseidonCS(_BaseCS):
     def pad(self):
         assert self.mult_c is None
         n = len(self.a_wire)
-        padded = 1 << (n - 1).bit_length()
+        padded = max(N_LANES, 1 << (n - 1).bit_length())
         for _ in range(n, padded):
             self._raw_row(0, 0, 0, 1, 0, 0, 0)
 

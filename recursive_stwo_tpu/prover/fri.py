@@ -1,0 +1,222 @@
+"""FRI commit + decommit (prover side).
+
+Fold semantics are pinned by the verifier's replay
+(verifier/hints.fold_circle_pair / fold_line_pair, fixture-validated):
+circle fold (l+r) + a*(l-r)/y, line folds (l+r) + a*(l-r)/x on
+half_odds cosets, no 1/2 normalization (each fold scales by 2; the last
+polynomial interpolates the folded values, absorbing the scale).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core import circle as ccircle
+from ..core import m31
+from ..core import qm31 as q
+from ..core.qm31 import QM31
+from ..proof.containers import FriLayerProof, MerkleDecommitment
+from .commit import CommittedTree
+
+
+@lru_cache(maxsize=None)
+def circle_fold_yinv(log_size: int) -> np.ndarray:
+    """1/y at the even (bit-reversed) positions of the circle domain."""
+    dom = ccircle.CircleDomain(ccircle.Coset.half_odds(log_size - 1))
+    n = 1 << log_size
+    ys = np.array(
+        [
+            dom.at(ccircle.bit_reverse_index(2 * k, log_size))[1]
+            for k in range(n // 2)
+        ],
+        np.uint32,
+    )
+    return m31.inv(ys)
+
+
+@lru_cache(maxsize=None)
+def line_fold_xinv(log_size: int) -> np.ndarray:
+    """1/x at half_odds(log_size) bit-reversed even positions."""
+    coset = ccircle.Coset.half_odds(log_size)
+    n = 1 << log_size
+    xs = np.array(
+        [
+            coset.at(ccircle.bit_reverse_index(2 * k, log_size))[0]
+            for k in range(n // 2)
+        ],
+        np.uint32,
+    )
+    return m31.inv(xs)
+
+
+def _q_limbs(v: QM31) -> np.ndarray:
+    return np.stack([np.asarray(c, np.uint32) for c in v])  # (4, N)
+
+
+def _q_of_limbs(arr: np.ndarray) -> QM31:
+    return QM31(arr[0], arr[1], arr[2], arr[3])
+
+
+def fold_circle(evals: QM31, alpha4) -> QM31:
+    n = np.asarray(evals.a).shape[0]
+    log = n.bit_length() - 1
+    yinv = circle_fold_yinv(log)
+    l = QM31(*(c[0::2] for c in evals))
+    r = QM31(*(c[1::2] for c in evals))
+    f0 = q.q_add(l, r)
+    f1 = q.q_mul_m31(q.q_sub(l, r), yinv)
+    alpha = QM31(*(np.uint32(x) for x in alpha4))
+    return q.q_add(f0, q.q_mul(f1, alpha))
+
+
+def fold_line(evals: QM31, alpha4, log_size: int) -> QM31:
+    xinv = line_fold_xinv(log_size)
+    l = QM31(*(c[0::2] for c in evals))
+    r = QM31(*(c[1::2] for c in evals))
+    f0 = q.q_add(l, r)
+    f1 = q.q_mul_m31(q.q_sub(l, r), xinv)
+    alpha = QM31(*(np.uint32(x) for x in alpha4))
+    return q.q_add(f0, q.q_mul(f1, alpha))
+
+
+def line_interpolate(evals: QM31, log_size: int) -> np.ndarray:
+    """Line-poly coefficients (N, 4) in the verifier's eval basis
+    (LinePolyVar.eval_at_point: top split by x, deeper by pi(x) ladder)."""
+    n = np.asarray(evals.a).shape[0]
+    assert n == 1 << log_size
+    coset = ccircle.Coset.half_odds(log_size)
+    xs = np.array(
+        [coset.at(ccircle.bit_reverse_index(i, log_size))[0] for i in range(n)],
+        np.uint32,
+    )
+    v = _q_limbs(evals)  # (4, n)
+    cur_x = xs
+    half_inv = m31.inv(np.uint32(2))
+    for layer in range(log_size):
+        step = 1 << layer
+        groups = n // (2 * step)
+        g = v.reshape(4, groups, 2, step)
+        a, b = g[:, :, 0, :], g[:, :, 1, :]
+        tw = m31.inv(cur_x[0 : n // (1 << layer) : 2]).reshape(groups, 1)
+        f0 = m31.mul(m31.add(a, b), half_inv)
+        f1 = m31.mul(m31.mul(m31.sub(a, b), tw), half_inv)
+        v = np.stack([f0, f1], axis=2).reshape(4, n)
+        sq = m31.mul(cur_x[0::2], cur_x[0::2])
+        cur_x = m31.sub(m31.add(sq, sq), np.uint32(1))
+    # layered natural order has bit k ~ factor k (x, pi, ...); the verifier
+    # basis wants bit (log-1-k) ~ factor k: bit-reverse the index
+    idx = np.array(
+        [ccircle.bit_reverse_index(i, log_size) for i in range(n)], np.int64
+    )
+    return v[:, idx].T.copy()  # (n, 4)
+
+
+def line_eval_at(coeffs: np.ndarray, x: int):
+    """Reference last-layer evaluation (verifier semantics) for self-tests."""
+    P = (1 << 31) - 1
+    n = coeffs.shape[0]
+    log = n.bit_length() - 1
+    doublings = []
+    cx = x
+    for _ in range(log):
+        doublings.append(cx)
+        cx = (2 * cx * cx - 1) % P
+    from ..cs import scalar
+
+    vals = [tuple(int(c) for c in row) for row in coeffs]
+    for d in reversed(doublings):
+        vals = [
+            scalar.q_add(vals[2 * i], scalar.q_mul_m31(vals[2 * i + 1], d))
+            for i in range(len(vals) // 2)
+        ]
+    return vals[0]
+
+
+# ---------------------------------------------------------------------------
+# Pair-tree decommitment (FRI layers)
+# ---------------------------------------------------------------------------
+
+def decommit_pair(
+    tree: CommittedTree, leaf_queries: List[int]
+) -> MerkleDecommitment:
+    """Hash witness for the dual-track pair walk, in exactly the
+    consumption order of verifier/hints.expand_pair_paths."""
+    max_log = tree.max_log
+    data_set = set(tree.columns_by_log)
+    hash_witness: List[np.ndarray] = []
+
+    queries = sorted(set(int(v) for v in leaf_queries))
+    touched: set = set()  # nodes at the level below current with hashes
+    for current in range(max_log, -1, -1):
+        level_idx = max_log - current  # tree.levels index of `current`
+        if current in data_set:
+            new_touched = set()
+            for qq in queries:
+                new_touched.add(qq)
+                new_touched.add(qq ^ 1)
+            if current != max_log:
+                for qq in sorted(new_touched):
+                    for idx in (qq << 1, (qq << 1) | 1):
+                        if idx not in touched:
+                            hash_witness.append(
+                                tree.levels[level_idx - 1][idx]
+                            )
+                            touched.add(idx)
+            touched_next = new_touched
+        else:
+            assert current != max_log
+            touched_next = set()
+            for qq in queries:
+                touched_next.add(qq)
+                for idx in (qq << 1, (qq << 1) | 1):
+                    if idx not in touched:
+                        hash_witness.append(tree.levels[level_idx - 1][idx])
+                        touched.add(idx)
+        touched = touched_next
+        queries = sorted({qq >> 1 for qq in queries})
+
+    return MerkleDecommitment(
+        hash_witness=(
+            np.stack(hash_witness)
+            if hash_witness
+            else np.zeros((0, 8), np.uint32)
+        ),
+        column_witness=np.zeros(0, np.uint32),
+    )
+
+
+def first_layer_witness(
+    group_evals: Dict[int, QM31], raw_queries: List[int], max_log: int
+) -> np.ndarray:
+    """fri_witness for the first layer: sibling values the verifier cannot
+    derive (order per verifier/hints.rebuild_first_layer_evals)."""
+    out: List[tuple] = []
+    for L in sorted(group_evals, reverse=True):
+        evals = group_evals[L]
+        qs = sorted({qq >> (max_log - L) for qq in raw_queries})
+        covered = set(qs)
+        i = 0
+        while i < len(qs):
+            start = (qs[i] >> 1) << 1
+            for pos in (start, start + 1):
+                if pos not in covered:
+                    out.append(
+                        tuple(int(np.asarray(c)[pos]) for c in evals)
+                    )
+            i += 2 if (i + 1 < len(qs) and qs[i + 1] == start + 1) else 1
+    return np.array(out, np.uint32).reshape(-1, 4)
+
+
+def inner_layer_witness(evals: QM31, queries: List[int]) -> np.ndarray:
+    """fri_witness for an inner layer: sibling of each queried position not
+    itself queried (sorted order, per verifier/hints.prepare inner loop)."""
+    qs = sorted(set(queries))
+    qset = set(qs)
+    out = []
+    for k in qs:
+        if (k ^ 1) not in qset:
+            out.append(tuple(int(np.asarray(c)[k ^ 1]) for c in evals))
+    return np.array(out, np.uint32).reshape(-1, 4)

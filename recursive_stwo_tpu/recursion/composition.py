@@ -78,6 +78,12 @@ class EvalAtRowVar:
         assert len(mask) == n
         return list(mask)
 
+    def one(self) -> QM31Var:
+        return QM31Var.one(self.cumsum_shift.cs)
+
+    def zero(self) -> QM31Var:
+        return QM31Var.zero(self.cumsum_shift.cs)
+
     def get_preprocessed_column(self) -> QM31Var:
         return self.next_interaction_mask(0, 1)[0]
 
@@ -110,7 +116,7 @@ class EvalAtRowVar:
                 q_ = q_ * d
             batched.append((p_, q_))
 
-        prev_col_cumsum = QM31Var.zero(self.cumsum_shift.cs)
+        prev_col_cumsum = self.zero()
         for num, denom in batched[: num_batches - 1]:
             cur_cumsum = self.next_extension_interaction_mask(2, 1)[0]
             diff = cur_cumsum - prev_col_cumsum
@@ -138,7 +144,6 @@ def combine_ef(values) -> QM31Var:
 # ---------------------------------------------------------------------------
 
 def evaluate_plonk(lookup_elements: LookupElementsVar, ev: EvalAtRowVar):
-    cs = lookup_elements.cs
     a_wire = ev.get_preprocessed_column()
     b_wire = ev.get_preprocessed_column()
     c_wire = ev.get_preprocessed_column()
@@ -161,7 +166,7 @@ def evaluate_plonk(lookup_elements: LookupElementsVar, ev: EvalAtRowVar):
     b_val = combine_ef(b4)
     c_val = combine_ef(c4)
 
-    one = QM31Var.one(cs)
+    one = ev.one()
     ev.add_constraint(
         (c_val - (op * (a_val + b_val))) - (((one - op) * a_val) * b_val)
     )
@@ -217,13 +222,11 @@ def _pow5(x: QM31Var) -> QM31Var:
 
 
 def evaluate_poseidon(lookup_elements: LookupElementsVar, ev: EvalAtRowVar):
-    cs = lookup_elements.cs
-
     is_first_round = ev.get_preprocessed_column()
     is_last_round = ev.get_preprocessed_column()
     is_full_round = ev.get_preprocessed_column()
 
-    one = QM31Var.one(cs)
+    one = ev.one()
     is_not_first_round = one - is_first_round
     is_not_last_round = one - is_last_round
     is_partial_round = is_not_first_round - is_full_round
