@@ -126,6 +126,10 @@ def permute(state):
     """Poseidon2 permutation of a (..., 16) uint32 array (pure)."""
     if _is_jax(state):
         return _permute_jax(state)
+    from ..utils import native
+
+    if native.available():
+        return native.permute_batch(np.asarray(state, dtype=np.uint32))
     s = mds16(np.asarray(state, dtype=np.uint32))
     for r in range(4):
         s = _full_round(s, FIRST_FOUR_ROUND_RC[r])

@@ -57,7 +57,11 @@ class PoseidonChannel:
 
     def grind_pow(self, pow_bits: int, batch: int = 1 << 12) -> int:
         """Find a nonce whose mix leaves digest limb0 with `pow_bits` low
-        zero bits (vectorized candidate batches)."""
+        zero bits (native scan when available, else vectorized batches)."""
+        from ..utils import native
+
+        if native.available():
+            return native.grind(self.digest, pow_bits)
         mask = np.uint32((1 << pow_bits) - 1)
         base = 0
         while True:
