@@ -15,9 +15,15 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-
 import jax
+
+# the env-var route does not initialize the persistent cache in this jax
+# build; the explicit config update does
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+
 import jax.numpy as jnp
 import numpy as np
 

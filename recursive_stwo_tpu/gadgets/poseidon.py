@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import poseidon2
-from ..cs.system import Mode, PlonkWithPoseidonCS
+from ..cs.system import PlonkWithPoseidonCS
 from .fields import M31Var, QM31Var
 
 

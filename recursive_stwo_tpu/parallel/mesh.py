@@ -15,8 +15,6 @@ verdict reduction crosses hosts.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ order (`coset_to_domain_perm`).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

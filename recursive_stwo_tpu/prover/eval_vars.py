@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import m31
 from ..core import qm31 as q
 from ..core.qm31 import QM31
 

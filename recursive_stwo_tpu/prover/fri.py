@@ -10,7 +10,7 @@ polynomial interpolates the folded values, absorbing the scale).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
@@ -18,7 +18,7 @@ from ..core import circle as ccircle
 from ..core import m31
 from ..core import qm31 as q
 from ..core.qm31 import QM31
-from ..proof.containers import FriLayerProof, MerkleDecommitment
+from ..proof.containers import MerkleDecommitment
 from .commit import CommittedTree
 
 

@@ -439,9 +439,7 @@ def _group_quotients(
 ):
     """Quotient evaluations per first-layer log size over the FULL
     commitment domains, via the verifier's own quotient kernels."""
-    from ..verifier import points as vpoints
     from ..verifier import quotients as vquot
-    from ..verifier.arrays import ProofArrays
 
     samples_flat = np.concatenate(
         [col for tree in sampled_values for col in tree]

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..core import circle as ccircle
 from ..gadgets.circle import CirclePointM31, CirclePointQM31
-from ..gadgets.fields import CM31Var, M31Var, QM31Var
+from ..gadgets.fields import QM31Var
 from ..gadgets.query import QueryPositionsPerLogSizeVar
 from ..verifier.spec import VerifierSpec
 from .data_structures import (

@@ -15,7 +15,7 @@ from ..core.poseidon2 import (
     LAST_FOUR_ROUNDS_RC,
     PARTIAL_ROUNDS_RC,
 )
-from ..cs.scalar import P, m_inv
+from ..cs.scalar import m_inv
 from ..gadgets.circle import CirclePointQM31
 from ..gadgets.fields import M31Var, QM31Var
 from ..verifier.spec import (

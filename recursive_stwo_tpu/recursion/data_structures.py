@@ -16,13 +16,11 @@ from typing import Dict, List
 
 import numpy as np
 
-from ..cs.scalar import P
 from ..gadgets import merkle as gmerkle
 from ..gadgets.bits import BitsVar
 from ..gadgets.fields import M31Var, QM31Var
 from ..gadgets.line import LinePolyVar
 from ..gadgets.poseidon import Poseidon2Half
-from ..verifier.spec import VerifierSpec
 
 
 def _q_tuple(arr4) -> tuple:

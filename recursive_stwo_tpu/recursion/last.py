@@ -45,7 +45,6 @@ class LastFiatShamirInput:
 
     def __init__(self, spec: VerifierSpec, proof, fs):
         from ..verifier import hints as hints_mod
-        from ..verifier import transcript as transcript_mod
 
         self.t = _fs_scalar(fs.oods_t)
         flat = [
