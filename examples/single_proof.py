@@ -45,7 +45,10 @@ def main():
 
     trace = cs.generate_trace()
     dest_config = PcsConfig(pow_bits=20, fri_config=FriConfig(8, 5, 16))
-    recursive_proof = prove(trace, dest_config)
+    recursive_proof = prove(
+        trace, dest_config,
+        progress=lambda msg: print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True),
+    )
     lp, lq = recursive_proof.log_size_plonk, recursive_proof.log_size_poseidon
     print(f"[{time.time()-t0:7.1f}s] recursive proof generated: log sizes {lp}/{lq}")
 

@@ -185,3 +185,31 @@ def apoint_double_x(x):
 
     sq = m31.mul(x, x)
     return m31.sub(m31.add(sq, sq), np.uint32(1))
+
+
+def bit_reverse_indices(n_bits: int):
+    """Vectorized bit_reverse_index for all i in [0, 2^n_bits)."""
+    import numpy as np
+
+    i = np.arange(1 << n_bits, dtype=np.uint32)
+    r = np.zeros_like(i)
+    for k in range(n_bits):
+        r |= ((i >> np.uint32(k)) & np.uint32(1)) << np.uint32(n_bits - 1 - k)
+    return r.astype(np.int64)
+
+
+def apoints_at_indices(indices):
+    """Vectorized point_at_index over a uint32/int index array."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint64)
+    x = np.full(idx.shape, np.uint32(1))
+    y = np.zeros(idx.shape, np.uint32)
+    for k in range(M31_CIRCLE_LOG_ORDER):
+        gx, gy = _gen_power_of_two(k)
+        bit = ((idx >> np.uint64(k)) & np.uint64(1)).astype(bool)
+        nx = m31.sub(m31.mul(x, np.uint32(gx)), m31.mul(y, np.uint32(gy)))
+        ny = m31.add(m31.mul(x, np.uint32(gy)), m31.mul(y, np.uint32(gx)))
+        x = np.where(bit, nx, x)
+        y = np.where(bit, ny, y)
+    return x, y

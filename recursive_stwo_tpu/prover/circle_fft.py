@@ -30,10 +30,20 @@ def domain_points_bit_reversed(log_size: int):
     """(x, y) uint32 arrays of the circle domain in bit-reversed order."""
     dom = ccircle.CanonicCoset(log_size).circle_domain()
     n = 1 << log_size
-    pts = [dom.at(ccircle.bit_reverse_index(i, log_size)) for i in range(n)]
-    x = np.array([p[0] for p in pts], dtype=np.uint32)
-    y = np.array([p[1] for p in pts], dtype=np.uint32)
-    return x, y
+    br = ccircle.bit_reverse_indices(log_size)
+    half = dom.half_coset
+    order = np.uint64(1) << np.uint64(31)
+    idx = (
+        np.uint64(half.initial_index)
+        + br.astype(np.uint64) * np.uint64(half.step_index)
+    ) % order
+    conj = br >= (n // 2)
+    idx_conj = (
+        np.uint64(half.initial_index)
+        + (br - n // 2).astype(np.uint64) * np.uint64(half.step_index)
+    ) % order
+    idx = np.where(conj, (order - idx_conj) % order, idx)
+    return ccircle.apoints_at_indices(idx)
 
 
 @lru_cache(maxsize=None)

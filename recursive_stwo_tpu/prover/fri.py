@@ -25,16 +25,10 @@ from .commit import CommittedTree
 @lru_cache(maxsize=None)
 def circle_fold_yinv(log_size: int) -> np.ndarray:
     """1/y at the even (bit-reversed) positions of the circle domain."""
-    dom = ccircle.CircleDomain(ccircle.Coset.half_odds(log_size - 1))
-    n = 1 << log_size
-    ys = np.array(
-        [
-            dom.at(ccircle.bit_reverse_index(2 * k, log_size))[1]
-            for k in range(n // 2)
-        ],
-        np.uint32,
-    )
-    return m31.inv(ys)
+    from .circle_fft import domain_points_bit_reversed
+
+    _, y = domain_points_bit_reversed(log_size)
+    return m31.inv(y[0::2].copy())
 
 
 @lru_cache(maxsize=None)
@@ -42,13 +36,13 @@ def line_fold_xinv(log_size: int) -> np.ndarray:
     """1/x at half_odds(log_size) bit-reversed even positions."""
     coset = ccircle.Coset.half_odds(log_size)
     n = 1 << log_size
-    xs = np.array(
-        [
-            coset.at(ccircle.bit_reverse_index(2 * k, log_size))[0]
-            for k in range(n // 2)
-        ],
-        np.uint32,
-    )
+    br = ccircle.bit_reverse_indices(log_size)[0::2]
+    order = np.uint64(1) << np.uint64(31)
+    idx = (
+        np.uint64(coset.initial_index)
+        + br.astype(np.uint64) * np.uint64(coset.step_index)
+    ) % order
+    xs, _ = ccircle.apoints_at_indices(idx)
     return m31.inv(xs)
 
 

@@ -87,7 +87,10 @@ def _point_sub_step_perm(dom_log: int, step_index: int) -> np.ndarray:
     return perm
 
 
-def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
+def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonProof:
+    import logging
+
+    plog = progress or logging.getLogger(__name__).debug
     blowup = config.fri_config.log_blowup_factor
 
     # ---- build AIR columns (row order) ----
@@ -121,6 +124,7 @@ def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
         _merge_levels([(lp + blowup, pre_plonk_lde), (lq + blowup, pre_pos_lde)])
     )
     channel.mix_root(tree0.root)
+    plog("tree0 (preprocessed) committed")
 
     channel.mix_one_felt([lp, 0, 0, 0])
     channel.mix_one_felt([lq, 0, 0, 0])
@@ -132,6 +136,7 @@ def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
         _merge_levels([(lp + blowup, tr_plonk_lde), (lq + blowup, tr_pos_lde)])
     )
     channel.mix_root(tree1.root)
+    plog("tree1 (trace) committed")
 
     z4, alpha4 = channel.draw_felts()
 
@@ -150,6 +155,7 @@ def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
         _merge_levels([(lp + blowup, int_plonk_lde), (lq + blowup, int_pos_lde)])
     )
     channel.mix_root(tree2.root)
+    plog("tree2 (interaction) committed")
 
     random_coeff4 = channel.draw_felt()
 
@@ -174,6 +180,7 @@ def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
     )  # (8, 2^(bound-1+blowup))
     tree3 = CommittedTree({bound - 1 + blowup: comp_cols_lde})
     channel.mix_root(tree3.root)
+    plog("tree3 (composition) committed")
 
     oods_t4 = channel.draw_felt()
     oods = _oods_point(oods_t4)
@@ -206,6 +213,7 @@ def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
             )
 
     sampled_values = _assemble_samples(spec, lp, lq, bound, samples_at)
+    plog("OODS samples computed")
 
     flat = [s for tree in sampled_values for col in tree for s in col]
     for k in range(0, len(flat), 2):
@@ -224,6 +232,7 @@ def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
         int_plonk_lde, int_pos_lde, comp_cols_lde, lp, lq, bound, blowup,
     )
 
+    plog("FRI first-layer quotients computed")
     first_tree = CommittedTree(
         {L: fri._q_limbs(ev) for L, ev in group_evals.items()}
     )
@@ -274,6 +283,7 @@ def prove(trace: dict, config: PcsConfig) -> PlonkWithPoseidonProof:
             channel.mix_two_felts(chunk[0], chunk[1])
 
     # ---- PoW + queries ----
+    plog("FRI layers committed; grinding PoW")
     nonce = channel.grind_pow(config.pow_bits)
     channel.mix_u64(nonce)
     raw_queries: List[int] = []
