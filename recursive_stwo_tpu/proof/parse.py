@@ -39,9 +39,15 @@ P = 2147483647
 
 
 class Reader:
-    def __init__(self, data: bytes):
+    """hash_mode: "m31x8" (Poseidon31Hash = [M31; 8]) or "bytes32"
+    (sha256-type 32 raw bytes, e.g. Sha256Poseidon31MerkleHasher roots in
+    hybrid_hash.bin)."""
+
+    def __init__(self, data: bytes, hash_mode: str = "m31x8"):
         self.data = data
         self.pos = 0
+        assert hash_mode in ("m31x8", "bytes32"), hash_mode
+        self.hash_mode = hash_mode
 
     def u32(self) -> int:
         (v,) = struct.unpack_from("<I", self.data, self.pos)
@@ -71,7 +77,20 @@ class Reader:
         return arr
 
     def hash8(self) -> np.ndarray:
+        if self.hash_mode == "bytes32":
+            arr = np.frombuffer(
+                self.data, dtype=np.uint8, count=32, offset=self.pos
+            ).copy()
+            self.pos += 32
+            return arr
         return self.m31_array(8)
+
+    def hash_array(self, n: int) -> np.ndarray:
+        return np.stack([self.hash8() for _ in range(n)]) if n else (
+            np.zeros((0, 32), np.uint8)
+            if self.hash_mode == "bytes32"
+            else np.zeros((0, 8), np.uint32)
+        )
 
     def qm31_vec(self) -> np.ndarray:
         n = self.vec_len()
@@ -83,7 +102,7 @@ class Reader:
 
 def _read_merkle_decommitment(r: Reader) -> MerkleDecommitment:
     n_hash = r.vec_len()
-    hash_witness = r.m31_array(8 * n_hash).reshape(n_hash, 8)
+    hash_witness = r.hash_array(n_hash)
     n_col = r.vec_len()
     column_witness = r.m31_array(n_col)
     return MerkleDecommitment(hash_witness, column_witness)
@@ -96,8 +115,10 @@ def _read_fri_layer(r: Reader) -> FriLayerProof:
     return FriLayerProof(fri_witness, decommitment, commitment)
 
 
-def parse_plonk_with_poseidon_proof(data: bytes) -> PlonkWithPoseidonProof:
-    r = Reader(data)
+def parse_plonk_with_poseidon_proof(
+    data: bytes, hash_mode: str = "m31x8"
+) -> PlonkWithPoseidonProof:
+    r = Reader(data, hash_mode)
 
     log_size_plonk = r.u32()
     log_size_poseidon = r.u32()
@@ -125,7 +146,7 @@ def parse_plonk_with_poseidon_proof(data: bytes) -> PlonkWithPoseidonProof:
 
     n_trees = r.vec_len()
     assert n_trees == 4, n_trees
-    commitments = r.m31_array(8 * n_trees).reshape(n_trees, 8)
+    commitments = r.hash_array(n_trees)
 
     n_trees2 = r.vec_len()
     assert n_trees2 == 4
