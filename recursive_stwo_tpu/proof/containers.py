@@ -56,6 +56,19 @@ class PlonkWithPoseidonProof:
 
 
 @dataclass(frozen=True)
+class PlonkWithoutPoseidonProof:
+    """Proof for the single-table last-layer AIR (reference:
+    stwo fork's PlonkWithoutPoseidonProof, produced by
+    prove_plonk_without_poseidon; gate set per
+    constraint_system/src/plonk_without_poseidon.rs)."""
+
+    log_size: int
+    total_sum: np.ndarray  # (4,) uint32
+    config: "PcsConfig"
+    stark_proof: StarkProof
+
+
+@dataclass(frozen=True)
 class FriConfig:
     log_last_layer_degree_bound: int
     log_blowup_factor: int

@@ -82,6 +82,19 @@ def plonk_columns(trace: dict) -> Tuple[np.ndarray, np.ndarray]:
     return pre.astype(np.uint32), tr.astype(np.uint32)
 
 
+NP_PRE_ORDER = (
+    "a_wire", "b_wire", "c_wire", "op1", "op2", "op3", "op4", "mult_c",
+)
+
+
+def np_columns(trace: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """PlonkWithoutPoseidon columns: 8 preprocessed + 12 value limbs
+    (read order fixed by recursion.composition.evaluate_plonk_np)."""
+    pre = np.stack([trace[name] for name in NP_PRE_ORDER])
+    tr = np.stack([trace[name] for name in PLONK_TRACE_ORDER])
+    return pre.astype(np.uint32), tr.astype(np.uint32)
+
+
 # ---------------------------------------------------------------------------
 # Poseidon columns (row order)
 # ---------------------------------------------------------------------------

@@ -232,6 +232,25 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
         int_plonk_lde, int_pos_lde, comp_cols_lde, lp, lq, bound, blowup,
     )
 
+    stark_proof = _fri_tail(
+        spec, config, channel, [tree0, tree1, tree2, tree3],
+        group_evals, sampled_values, plog,
+    )
+    return PlonkWithPoseidonProof(
+        log_size_plonk=lp,
+        log_size_poseidon=lq,
+        plonk_total_sum=np.array(plonk_total, np.uint32),
+        poseidon_total_sum=np.array(pos_total, np.uint32),
+        config=config,
+        stark_proof=stark_proof,
+    )
+
+
+def _fri_tail(spec, config, channel, trees, group_evals, sampled_values, plog):
+    """AIR-agnostic FRI phase: commit first layer + inner folds, last
+    poly extraction, PoW grind, query draw, and all decommitments.
+    Shared by the with- and without-poseidon provers."""
+    tree0, tree1, tree2, tree3 = trees
     plog("FRI first-layer quotients computed")
     first_tree = CommittedTree(
         {L: fri._q_limbs(ev) for L, ev in group_evals.items()}
@@ -294,7 +313,6 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     raw_queries = [v & ((1 << M) - 1) for v in raw_queries[: config.fri_config.n_queries]]
 
     # ---- decommitments ----
-    trees = [tree0, tree1, tree2, tree3]
     queried_values = []
     decommitments = []
     for t in range(4):
@@ -337,14 +355,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
             last_layer_log_size=config.fri_config.log_last_layer_degree_bound,
         ),
     )
-    return PlonkWithPoseidonProof(
-        log_size_plonk=lp,
-        log_size_poseidon=lq,
-        plonk_total_sum=np.array(plonk_total, np.uint32),
-        poseidon_total_sum=np.array(pos_total, np.uint32),
-        config=config,
-        stark_proof=stark_proof,
-    )
+    return stark_proof
 
 
 def _merge_levels(pairs) -> Dict[int, np.ndarray]:

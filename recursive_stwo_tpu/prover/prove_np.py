@@ -1,0 +1,240 @@
+"""Circle-STARK prover for the PlonkWithoutPoseidon AIR (the last-layer
+output system; reference: stwo fork's `prove_plonk_without_poseidon` as
+consumed by examples/last-layer/src/main.rs:188-202).
+
+Single trace table at one log size; gate semantics per
+constraint_system/src/plonk_without_poseidon.rs:410-598, trace layout per
+:633-713, logup (a/b at multiplicity one, mult_c on definitions) per
+:600-631.  Shares the transcript channel, commitment trees, and the whole
+FRI phase with the with-poseidon prover (prove._fri_tail)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import circle as ccircle
+from ..core import m31
+from ..cs import scalar
+from ..proof.containers import PcsConfig, PlonkWithoutPoseidonProof
+from ..recursion.composition import evaluate_plonk_np
+from ..verifier.spec import NoPoseidonVerifierSpec
+from . import air, circle_fft, fri  # noqa: F401  (fri used via prove._fri_tail)
+from .channel import PoseidonChannel
+from .commit import CommittedTree
+from .eval_vars import (
+    ArrayAccumulator,
+    ArrayEvalAtRow,
+    EvalArray,
+    LookupElementsArray,
+)
+from .prove import (
+    _add_const,
+    _basis_at_point,
+    _fri_tail,
+    _oods_point,
+    _point_sub_step_perm,
+    _sample_columns,
+)
+
+
+def _composition_evals_np(spec, bound, pre, tr, inter, z4, alpha4, rc4, total):
+    n = 1 << bound
+    lookup = LookupElementsArray(z4, alpha4, n)
+    acc = ArrayAccumulator(rc4, n)
+    x, _ = circle_fft.domain_points_bit_reversed(bound)
+    log = spec.log_size
+
+    pre_l = circle_fft.evaluate_lde(air.to_domain_order(pre), bound)
+    tr_l = circle_fft.evaluate_lde(air.to_domain_order(tr), bound)
+    int_l = circle_fft.evaluate_lde(air.to_domain_order(inter), bound)
+
+    step_index = ccircle.Coset.odds(log).step_index
+    perm = _point_sub_step_perm(bound, step_index)
+    n_int = int_l.shape[0]
+    mask_pre = [[EvalArray.from_limbs(c)] for c in pre_l]
+    mask_tr = [[EvalArray.from_limbs(c)] for c in tr_l]
+    mask_int = []
+    for ci in range(n_int):
+        if ci < n_int - 4:
+            mask_int.append([EvalArray.from_limbs(int_l[ci])])
+        else:
+            mask_int.append(
+                [
+                    EvalArray.from_limbs(int_l[ci][perm]),
+                    EvalArray.from_limbs(int_l[ci]),
+                ]
+            )
+
+    v = x
+    for _ in range(log - 1):
+        sq = m31.mul(v, v)
+        v = m31.sub(m31.add(sq, sq), np.uint32(1))
+    denom_inv = EvalArray.from_limbs(m31.inv(v))
+
+    ev = ArrayEvalAtRow(
+        [mask_pre, mask_tr, mask_int], total, denom_inv, log, acc, n
+    )
+    evaluate_plonk_np(lookup, ev)
+    return acc.accumulation.v
+
+
+def _assemble_samples_np(spec, bound, samples_at):
+    sampled = []
+    for t in range(3):
+        cols = samples_at[(t, 0)]
+        tree_cols = []
+        for ci in range(cols.shape[0]):
+            if spec.n_samples_per_column[t][ci] == 1:
+                tree_cols.append(cols[ci][None, :])
+            else:
+                prev = samples_at[(t, -1)][ci]
+                tree_cols.append(np.stack([prev, cols[ci]]))
+        sampled.append(tree_cols)
+    comp = samples_at[(3, 0)]
+    sampled.append([comp[ci][None, :] for ci in range(8)])
+    return sampled
+
+
+def _group_quotients_np(spec, sampled_values, after_coeff4, oods, shifted,
+                        ldes):
+    from ..core.qm31 import QM31
+    from ..verifier import quotients as vquot
+
+    samples_flat = np.concatenate(
+        [col for tree in sampled_values for col in tree]
+    )[None]
+
+    out = {}
+    for g, L in enumerate(spec.all_log_sizes):
+        rows_parts = [ldes[t][L] for t in range(4) if L in ldes[t]]
+        rows = np.concatenate(rows_parts).T[None]
+        x, y = circle_fft.domain_points_bit_reversed(L)
+        dx, dyq = x[None], y[None]
+        arr1 = lambda t4: QM31(  # noqa: E731
+            *(np.array([int(v)], np.uint32) for v in t4)
+        )
+        ans = vquot.fri_answers_for_group(
+            spec, g,
+            (arr1(oods[0]), arr1(oods[1])),
+            arr1(after_coeff4),
+            samples_flat, rows, dx, dyq,
+        )
+        out[L] = QM31(*(np.asarray(c)[0] for c in ans))
+    return out
+
+
+def prove_np(trace: dict, config: PcsConfig, progress=None):
+    """trace: PlonkWithoutPoseidonCS.generate_trace() output."""
+    def plog(msg):
+        if progress:
+            progress(msg)
+
+    pre, tr = air.np_columns(trace)
+    L = pre.shape[1].bit_length() - 1
+    assert 1 << L == pre.shape[1]
+    blowup = config.fri_config.log_blowup_factor
+    spec = NoPoseidonVerifierSpec.for_rows(L, config)
+    bound = spec.composition_log_degree_bound
+
+    def lde(rows, target_log):
+        return circle_fft.evaluate_lde(air.to_domain_order(rows), target_log)
+
+    channel = PoseidonChannel()
+
+    pre_lde = lde(pre, L + blowup)
+    tree0 = CommittedTree({L + blowup: pre_lde})
+    channel.mix_root(tree0.root)
+    plog("tree0 (preprocessed) committed")
+
+    channel.mix_one_felt([L, 0, 0, 0])
+
+    tr_lde = lde(tr, L + blowup)
+    tree1 = CommittedTree({L + blowup: tr_lde})
+    channel.mix_root(tree1.root)
+    plog("tree1 (trace) committed")
+
+    z4, alpha4 = channel.draw_felts()
+
+    inter, total = air.interaction_columns(pre, tr, z4, alpha4, evaluate_plonk_np)
+    channel.mix_one_felt(total)
+
+    int_lde = lde(inter, L + blowup)
+    tree2 = CommittedTree({L + blowup: int_lde})
+    channel.mix_root(tree2.root)
+    plog("tree2 (interaction) committed")
+
+    random_coeff4 = channel.draw_felt()
+
+    comp_evals = _composition_evals_np(
+        spec, bound, pre, tr, inter, z4, alpha4, random_coeff4, total
+    )
+    comp_coeffs = np.stack(
+        [circle_fft.interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
+    )
+    half = 1 << (bound - 1)
+    left_coeffs = comp_coeffs[:, :half]
+    right_coeffs = comp_coeffs[:, half:]
+    comp_cols_lde = np.concatenate(
+        [
+            circle_fft.evaluate(circle_fft.extend(left_coeffs, bound - 1 + blowup)),
+            circle_fft.evaluate(circle_fft.extend(right_coeffs, bound - 1 + blowup)),
+        ]
+    )
+    tree3 = CommittedTree({bound - 1 + blowup: comp_cols_lde})
+    channel.mix_root(tree3.root)
+    plog("tree3 (composition) committed")
+
+    oods_t4 = channel.draw_felt()
+    oods = _oods_point(oods_t4)
+
+    col_coeffs = {
+        0: circle_fft.interpolate(air.to_domain_order(pre)),
+        1: circle_fft.interpolate(air.to_domain_order(tr)),
+        2: circle_fft.interpolate(air.to_domain_order(inter)),
+        3: np.concatenate([left_coeffs, right_coeffs]),
+    }
+    step = ccircle.CanonicCoset(L).step()
+    shifted = {L: _add_const(oods, ccircle.point_neg(step))}
+
+    samples_at = {}
+    for t, coeffs in col_coeffs.items():
+        deg_log = coeffs.shape[1].bit_length() - 1
+        samples_at[(t, 0)] = _sample_columns(coeffs, _basis_at_point(deg_log, oods))
+        if t == 2:
+            samples_at[(t, -1)] = _sample_columns(
+                coeffs, _basis_at_point(deg_log, shifted[L])
+            )
+
+    sampled_values = _assemble_samples_np(spec, bound, samples_at)
+    plog("OODS samples computed")
+
+    flat = [s for tree in sampled_values for col in tree for s in col]
+    for k in range(0, len(flat), 2):
+        chunk = flat[k : k + 2]
+        if len(chunk) == 1:
+            channel.mix_one_felt(chunk[0])
+        else:
+            channel.mix_two_felts(chunk[0], chunk[1])
+
+    after_coeff4 = channel.draw_felt()
+
+    ldes = [
+        {L + blowup: pre_lde},
+        {L + blowup: tr_lde},
+        {L + blowup: int_lde},
+        {bound - 1 + blowup: comp_cols_lde},
+    ]
+    group_evals = _group_quotients_np(
+        spec, sampled_values, after_coeff4, oods, shifted, ldes
+    )
+
+    stark_proof = _fri_tail(
+        spec, config, channel, [tree0, tree1, tree2, tree3],
+        group_evals, sampled_values, plog,
+    )
+    return PlonkWithoutPoseidonProof(
+        log_size=L,
+        total_sum=np.array(total, np.uint32),
+        config=config,
+        stark_proof=stark_proof,
+    )

@@ -182,6 +182,69 @@ def evaluate_plonk(lookup_elements: LookupElementsVar, ev: EvalAtRowVar):
 
 
 # ---------------------------------------------------------------------------
+# PlonkWithoutPoseidon AIR (single table; gate semantics per
+# constraint_system/src/plonk_without_poseidon.rs:410-598, logup :600-631)
+# ---------------------------------------------------------------------------
+
+def evaluate_plonk_np(lookup_elements: LookupElementsVar, ev: EvalAtRowVar):
+    """Unified without-poseidon row constraint:
+
+      is_pow5 * (a_k^4 - b_k) = 0                              (4 constraints)
+      c = is_arith*op1*(a+b) + (1-op1)*a*b + is_m4*M4(a.b)
+          + is_hadamard*(a.b) + is_grandsum*gs*(1,1,1,1)       (1 constraint)
+      logup: 1/(a) + 1/(b) + mult_c/(c), batched by 2.
+    """
+    a_wire = ev.get_preprocessed_column()
+    b_wire = ev.get_preprocessed_column()
+    c_wire = ev.get_preprocessed_column()
+    op1 = ev.get_preprocessed_column()
+    op2 = ev.get_preprocessed_column()
+    op3 = ev.get_preprocessed_column()
+    op4 = ev.get_preprocessed_column()
+    mult_c = ev.get_preprocessed_column()
+
+    vals = [ev.next_trace_mask() for _ in range(12)]
+    a4, b4, c4 = vals[0:4], vals[4:8], vals[8:12]
+
+    one = ev.one()
+    for k in range(4):
+        a2 = a4[k] * a4[k]
+        ev.add_constraint(op2 * ((a2 * a2) - b4[k]))
+
+    h = [a4[k] * b4[k] for k in range(4)]
+    m4 = _apply_m4(h)
+    gs = ((a4[0] + a4[1]) + (a4[2] + a4[3])) + (
+        (b4[0] + b4[1]) + (b4[2] + b4[3])
+    )
+
+    a_val = combine_ef(a4)
+    b_val = combine_ef(b4)
+    c_val = combine_ef(c4)
+
+    one_m_op3 = one - op3
+    one_m_op4 = one - op4
+    is_arith = one_m_op3 * one_m_op4
+    is_m4 = op3 * one_m_op4
+    is_hadamard = one_m_op3 * op4
+    is_grandsum = op3 * op4
+
+    expected = (
+        (is_arith * (op1 * (a_val + b_val)))
+        + (((one - op1) * a_val) * b_val)
+        + (is_m4 * combine_ef(m4))
+        + (is_hadamard * combine_ef(h))
+        + (is_grandsum * combine_ef([gs, gs, gs, gs]))
+    )
+    ev.add_constraint(c_val - expected)
+
+    ev.add_to_relation(lookup_elements, one, [a_val, a_wire])
+    ev.add_to_relation(lookup_elements, one, [b_val, b_wire])
+    ev.add_to_relation(lookup_elements, mult_c, [c_val, c_wire])
+    ev.finalize_logup(2)
+    return ev
+
+
+# ---------------------------------------------------------------------------
 # Poseidon AIR (composition poseidon.rs:73-241)
 # ---------------------------------------------------------------------------
 

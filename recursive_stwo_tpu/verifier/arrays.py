@@ -70,6 +70,31 @@ def flatten_samples(spec: VerifierSpec, proof: PlonkWithPoseidonProof) -> np.nda
     return out
 
 
+def from_proofs_np(spec, proofs) -> ProofArrays:
+    """PlonkWithoutPoseidonProof batch -> ProofArrays (total_sum rides the
+    plonk_total_sum slot; the poseidon slot is zero and unused)."""
+    B = len(proofs)
+    return ProofArrays(
+        commitments=np.stack([p.stark_proof.commitments for p in proofs]),
+        plonk_total_sum=np.stack([p.total_sum for p in proofs]),
+        poseidon_total_sum=np.zeros((B, 4), np.uint32),
+        samples_flat=np.stack([flatten_samples(spec, p) for p in proofs]),
+        first_layer_commitment=np.stack(
+            [p.stark_proof.fri_proof.first_layer.commitment for p in proofs]
+        ),
+        inner_commitments=np.stack(
+            [
+                np.stack([l.commitment for l in p.stark_proof.fri_proof.inner_layers])
+                for p in proofs
+            ]
+        ),
+        last_poly=np.stack([p.stark_proof.fri_proof.last_layer_poly for p in proofs]),
+        nonce_limbs=np.stack(
+            [split_nonce(p.stark_proof.proof_of_work) for p in proofs]
+        ),
+    )
+
+
 def from_proofs(
     spec: VerifierSpec, proofs: List[PlonkWithPoseidonProof]
 ) -> ProofArrays:

@@ -211,6 +211,113 @@ def evaluate_plonk(ev: _Eval, lookup):
 
 
 # ---------------------------------------------------------------------------
+# PlonkWithoutPoseidon AIR (verifier-array mirror of
+# recursion/composition.py::evaluate_plonk_np; same emission order)
+# ---------------------------------------------------------------------------
+
+def _m4_list(h):
+    t0 = q.q_add(h[0], h[1])
+    t1 = q.q_add(h[2], h[3])
+    t2 = q.q_add(q.q_add(h[1], h[1]), t1)
+    t3 = q.q_add(q.q_add(h[3], h[3]), t0)
+    t02 = q.q_add(t0, t0)
+    t12 = q.q_add(t1, t1)
+    t4 = q.q_add(q.q_add(t12, t12), t3)
+    t5 = q.q_add(q.q_add(t02, t02), t2)
+    return [q.q_add(t3, t5), t5, q.q_add(t2, t4), t4]
+
+
+def evaluate_plonk_np(ev: _Eval, lookup):
+    pre = [ev.preprocessed() for _ in range(8)]
+    a_wire, b_wire, c_wire, op1, op2, op3, op4, mult_c = pre
+    vals = [ev.trace() for _ in range(12)]
+    a4, b4, c4 = vals[0:4], vals[4:8], vals[8:12]
+
+    one = q.q_one(op1.a)
+    for k in range(4):
+        a2 = q.q_mul(a4[k], a4[k])
+        ev.add_constraint(q.q_mul(op2, q.q_sub(q.q_mul(a2, a2), b4[k])))
+
+    h = [q.q_mul(a4[k], b4[k]) for k in range(4)]
+    m4 = _m4_list(h)
+    gs = q.q_add(
+        q.q_add(q.q_add(a4[0], a4[1]), q.q_add(a4[2], a4[3])),
+        q.q_add(q.q_add(b4[0], b4[1]), q.q_add(b4[2], b4[3])),
+    )
+
+    a_val = q.q_combine4(*a4)
+    b_val = q.q_combine4(*b4)
+    c_val = q.q_combine4(*c4)
+
+    one_m_op3 = q.q_sub(one, op3)
+    one_m_op4 = q.q_sub(one, op4)
+    is_arith = q.q_mul(one_m_op3, one_m_op4)
+    is_m4 = q.q_mul(op3, one_m_op4)
+    is_hadamard = q.q_mul(one_m_op3, op4)
+    is_grandsum = q.q_mul(op3, op4)
+
+    expected = q.q_add(
+        q.q_add(
+            q.q_add(
+                q.q_mul(is_arith, q.q_mul(op1, q.q_add(a_val, b_val))),
+                q.q_mul(q.q_mul(q.q_sub(one, op1), a_val), b_val),
+            ),
+            q.q_mul(is_m4, q.q_combine4(*m4)),
+        ),
+        q.q_add(
+            q.q_mul(is_hadamard, q.q_combine4(*h)),
+            q.q_mul(is_grandsum, q.q_combine4(gs, gs, gs, gs)),
+        ),
+    )
+    ev.add_constraint(q.q_sub(c_val, expected))
+
+    ev.add_to_relation(lookup, one, [a_val, a_wire])
+    ev.add_to_relation(lookup, one, [b_val, b_wire])
+    ev.add_to_relation(lookup, mult_c, [c_val, c_wire])
+    ev.finalize_logup(2)
+
+
+def composition_check_np(
+    spec,
+    samples_flat,
+    total_sum: QM31,
+    lookup,
+    random_coeff: QM31,
+    oods,
+):
+    """(B,) bool composition identity for the without-poseidon AIR."""
+    oods_x, _ = oods
+    constraints: List[QM31] = []
+    denom_inv = q.q_inv(
+        points_mod.coset_vanishing_canonic(oods_x, spec.log_size)
+    )
+    ev = _Eval(
+        spec, samples_flat, (0, 0, 0), total_sum,
+        denom_inv, spec.log_size, constraints,
+    )
+    evaluate_plonk_np(ev, lookup)
+
+    computed = _horner(constraints, random_coeff)
+
+    def comp_sample(col):
+        idx = spec.sample_offsets[3][col]
+        s = samples_flat[:, idx]
+        return QM31(s[:, 0], s[:, 1], s[:, 2], s[:, 3])
+
+    left = q.q_combine4(*[comp_sample(i) for i in range(4)])
+    right = q.q_combine4(*[comp_sample(i) for i in range(4, 8)])
+    xpow = points_mod.repeated_double_x(
+        oods_x, spec.composition_log_degree_bound - 2
+    )
+    expected = q.q_add(left, q.q_mul(right, xpow))
+
+    eq = computed.a == expected.a
+    for comp_c, comp_e in zip(computed[1:], expected[1:]):
+        eq = eq & (comp_c == comp_e)
+    return eq
+
+
+# ---------------------------------------------------------------------------
 # poseidon AIR (stacked 16-lane state)
 # ---------------------------------------------------------------------------
 

@@ -353,10 +353,19 @@ def host_fri_answers(spec: VerifierSpec, fs, pa: ProofArrays, tree_paths):
     return answers
 
 
-def prepare(spec: VerifierSpec, proofs: List[PlonkWithPoseidonProof]) -> ProofArrays:
-    """Parse -> transcript replay -> path expansion -> batched tensors."""
-    pa = from_proofs(spec, proofs)
-    fs = transcript.run_transcript(spec, pa)
+def prepare(
+    spec: VerifierSpec,
+    proofs: List[PlonkWithPoseidonProof],
+    arrays_fn=from_proofs,
+    transcript_fn=None,
+) -> ProofArrays:
+    """Parse -> transcript replay -> path expansion -> batched tensors.
+
+    arrays_fn/transcript_fn default to the with-poseidon flavor; pass
+    (arrays.from_proofs_np, transcript.run_transcript_np) for
+    PlonkWithoutPoseidon proofs — everything below is spec-generic."""
+    pa = arrays_fn(spec, proofs)
+    fs = (transcript_fn or transcript.run_transcript)(spec, pa)
     B = len(proofs)
     M = spec.max_first_layer_log
 

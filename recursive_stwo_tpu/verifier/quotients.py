@@ -37,10 +37,9 @@ def _xp(arr):
 
 
 def column_trace_log(spec: VerifierSpec, tree: int, col: int) -> int:
-    n_plonk = (N_PREPROCESSED_PLONK, N_TRACE_PLONK, N_INTERACTION_PLONK, 0)[tree]
-    if tree == 3:
-        return spec.composition_log_degree_bound - 1
-    return spec.log_size_plonk if col < n_plonk else spec.log_size_poseidon
+    """Trace-domain log of a committed column == its degree log (spec
+    generic: works for both the two-table and the single-table AIRs)."""
+    return spec.tree_col_degree_logs[tree][col]
 
 
 def group_batches(spec: VerifierSpec, g: int):

@@ -214,3 +214,104 @@ class VerifierSpec:
                 n_queries=self.n_queries,
             ),
         )
+
+
+# ---------------------------------------------------------------------------
+# PlonkWithoutPoseidon (last-layer output AIR)
+# ---------------------------------------------------------------------------
+
+NP_LOG_EXPAND = 2  # max constraint degree 5 (op2 * (a_k^4 - b_k)) -> +2
+
+N_PREPROCESSED_NP = 8   # a/b/c wire, op1..op4, mult_c
+N_TRACE_NP = 12         # a/b/c values, 4 M31 limbs each
+N_INTERACTION_NP = 8    # 2 logup QM31 columns (batches [a,b] and [c])
+
+
+@dataclass(frozen=True)
+class NoPoseidonVerifierSpec:
+    """Shape descriptor for the single-table PlonkWithoutPoseidon AIR.
+
+    Duck-types `VerifierSpec` (same derived-property names) so the generic
+    verifier machinery — points, quotients, merkle hash planning, FRI
+    folding, host hint expansion — runs unchanged.  Gate semantics per
+    /root/reference/constraint_system/src/plonk_without_poseidon.rs:410-598;
+    the trace layout mirrors :633-713 (wires+selectors+mult_c preprocessed,
+    12 value limb columns), logup per :600-631 (a/b at multiplicity one,
+    mult_c on definitions).
+    """
+
+    log_size: int
+    pow_bits: int
+    log_last_layer_degree_bound: int
+    log_blowup_factor: int
+    n_queries: int
+    n_inner_layers: int
+
+    @cached_property
+    def composition_log_degree_bound(self) -> int:
+        return self.log_size + NP_LOG_EXPAND
+
+    @cached_property
+    def tree_col_degree_logs(self) -> Tuple[Tuple[int, ...], ...]:
+        L = self.log_size
+        dm1 = self.composition_log_degree_bound - 1
+        return (
+            (L,) * N_PREPROCESSED_NP,
+            (L,) * N_TRACE_NP,
+            (L,) * N_INTERACTION_NP,
+            (dm1,) * N_COMPOSITION,
+        )
+
+    @cached_property
+    def n_samples_per_column(self) -> Tuple[Tuple[int, ...], ...]:
+        return (
+            (1,) * N_PREPROCESSED_NP,
+            (1,) * N_TRACE_NP,
+            (1, 1, 1, 1, 2, 2, 2, 2),
+            (1,) * N_COMPOSITION,
+        )
+
+    # -- derived structure (same formulas as VerifierSpec) -------------------
+
+    tree_col_domain_logs = VerifierSpec.__dict__["tree_col_domain_logs"]
+    tree_max_domain_log = VerifierSpec.__dict__["tree_max_domain_log"]
+    sample_shifts_per_column = VerifierSpec.__dict__["sample_shifts_per_column"]
+    total_samples = VerifierSpec.__dict__["total_samples"]
+    sample_offsets = VerifierSpec.__dict__["sample_offsets"]
+    all_log_sizes = VerifierSpec.__dict__["all_log_sizes"]
+    max_first_layer_log = VerifierSpec.__dict__["max_first_layer_log"]
+    expected_n_inner_layers = VerifierSpec.__dict__["expected_n_inner_layers"]
+    final_fold_log = VerifierSpec.__dict__["final_fold_log"]
+    group_columns = VerifierSpec.__dict__["group_columns"]
+    n_columns_per_log_size = VerifierSpec.__dict__["n_columns_per_log_size"]
+    config = VerifierSpec.__dict__["config"]
+
+    @staticmethod
+    def for_rows(log_size: int, config: PcsConfig) -> "NoPoseidonVerifierSpec":
+        bound = log_size + NP_LOG_EXPAND
+        return NoPoseidonVerifierSpec(
+            log_size=log_size,
+            pow_bits=config.pow_bits,
+            log_last_layer_degree_bound=(
+                config.fri_config.log_last_layer_degree_bound
+            ),
+            log_blowup_factor=config.fri_config.log_blowup_factor,
+            n_queries=config.fri_config.n_queries,
+            n_inner_layers=(
+                bound - 2 - config.fri_config.log_last_layer_degree_bound
+            ),
+        )
+
+    def validate(self, proof) -> None:
+        sp = proof.stark_proof
+        assert [len(t) for t in sp.sampled_values] == [
+            len(t) for t in self.tree_col_degree_logs
+        ], "unexpected column counts"
+        for tree_idx, tree in enumerate(self.n_samples_per_column):
+            got = [len(c) for c in sp.sampled_values[tree_idx]]
+            assert got == list(tree), (tree_idx, got)
+        assert self.n_inner_layers == self.expected_n_inner_layers
+        assert (
+            len(sp.fri_proof.last_layer_poly)
+            == 1 << self.log_last_layer_degree_bound
+        )

@@ -182,6 +182,111 @@ def run_transcript(spec: VerifierSpec, pa) -> FSOutput:
     )
 
 
+# ---------------------------------------------------------------------------
+# PlonkWithoutPoseidon transcript (single statement log size / total sum)
+# ---------------------------------------------------------------------------
+
+def n_rows_np(spec) -> int:
+    return 8 + n_sample_rows(spec) + spec.n_inner_layers + n_last_poly_rows(spec)
+
+
+def build_operands_np(spec, pa) -> object:
+    """(B, T, 8) mix operands: c0, log_size, c1, total_sum, c2, c3,
+    samples (pairs), first-layer root, inner roots, last poly, nonce."""
+    xp = _xp(pa.commitments)
+    B = pa.commitments.shape[0]
+    zeros = xp.zeros
+
+    def const_row(vals):
+        row = np.zeros((1, 1, 8), np.uint32)
+        for i, v in enumerate(vals):
+            row[0, 0, i] = v
+        return xp.broadcast_to(xp.asarray(row), (B, 1, 8))
+
+    def pad_pairs(flat):
+        S = flat.shape[1]
+        if S % 2:
+            flat = xp.concatenate([flat, zeros((B, 1, 4), xp.uint32)], axis=1)
+        return flat.reshape(B, (S + 1) // 2, 8)
+
+    rows = [
+        pa.commitments[:, 0:1],
+        const_row([spec.log_size]),
+        pa.commitments[:, 1:2],
+        xp.concatenate(
+            [pa.plonk_total_sum, zeros((B, 4), xp.uint32)], axis=-1
+        )[:, None],
+        pa.commitments[:, 2:3],
+        pa.commitments[:, 3:4],
+        pad_pairs(pa.samples_flat),
+        pa.first_layer_commitment[:, None],
+        pa.inner_commitments,
+        pad_pairs(pa.last_poly),
+        xp.concatenate([pa.nonce_limbs, zeros((B, 5), xp.uint32)], axis=-1)[:, None],
+    ]
+    ops = xp.concatenate(rows, axis=1)
+    assert ops.shape[1] == n_rows_np(spec), (ops.shape, n_rows_np(spec))
+    return ops
+
+
+def _draw_schedule_np(spec) -> List[tuple]:
+    ns = n_sample_rows(spec)
+    T = n_rows_np(spec)
+    sched = [(2, 0), (4, 0), (5, 0), (5 + ns, 0), (6 + ns, 0)]
+    for i in range(spec.n_inner_layers):
+        sched.append((7 + ns + i, 0))
+    n_query_draws = (spec.n_queries + 7) // 8
+    for k in range(n_query_draws):
+        sched.append((T - 1, k))
+    return sched
+
+
+def run_transcript_np(spec, pa) -> FSOutput:
+    operands = build_operands_np(spec, pa)
+    xp = _xp(operands)
+    B = operands.shape[0]
+    digests = digest_chain(operands)
+
+    sched = _draw_schedule_np(spec)
+    rows = np.array([r for r, _ in sched], np.int32)
+    nsent = np.array([[n] for _, n in sched], np.uint32)
+
+    sel = digests[xp.asarray(rows)]
+    D = len(sched)
+    left = xp.zeros((D, B, 8), xp.uint32)
+    if xp is np:
+        left[:, :, 0] = nsent
+    else:
+        left = left.at[:, :, 0].set(xp.asarray(nsent))
+    state = xp.concatenate([left, sel], axis=-1)
+    rate = poseidon2.permute(state)[..., :8]
+
+    def felt(d, half):
+        s = rate[d, :, 4 * half : 4 * half + 4]
+        return QM31(s[:, 0], s[:, 1], s[:, 2], s[:, 3])
+
+    n_inner = spec.n_inner_layers
+    fri_alphas = tuple(felt(4 + i, 0) for i in range(n_inner + 1))
+
+    n_query_draws = (spec.n_queries + 7) // 8
+    qrate = rate[5 + n_inner : 5 + n_inner + n_query_draws]
+    raw = xp.swapaxes(qrate, 0, 1).reshape(B, n_query_draws * 8)[:, : spec.n_queries]
+
+    T = operands.shape[1]
+    pow_digest0 = digests[T - 1, :, 0]
+
+    return FSOutput(
+        z=felt(0, 0),
+        alpha=felt(0, 1),
+        random_coeff=felt(1, 0),
+        oods_t=felt(2, 0),
+        after_sampled_values_random_coeff=felt(3, 0),
+        fri_alphas=fri_alphas,
+        raw_queries=raw,
+        pow_digest0=pow_digest0,
+    )
+
+
 def pow_check(spec: VerifierSpec, fs: FSOutput):
     """Low pow_bits of the post-nonce digest limb 0 must be zero."""
     mask = np.uint32((1 << spec.pow_bits) - 1)

@@ -76,7 +76,20 @@ def verify_batch(
         oods,
     )
 
-    # quotients (FRI answers) per first-layer log size
+    checks.update(_structural_checks(spec, pa, fs, oods, xp))
+
+    ok = None
+    for v in checks.values():
+        ok = v if ok is None else (ok & v)
+    checks["ok"] = ok
+    return checks
+
+
+def _structural_checks(spec, pa, fs, oods, xp):
+    """Quotients, FRI folding, and all Merkle hash-plan checks — shared by
+    the with- and without-poseidon verifiers (everything here is driven by
+    the duck-typed spec)."""
+    checks = {}
     half_pts = points.half_index_points(spec, fs.raw_queries, spec.final_fold_log)
     answers = []
     for g, L in enumerate(spec.all_log_sizes):
@@ -173,8 +186,4 @@ def verify_batch(
     for j, job in enumerate(pair_jobs):
         checks[f"fri_{job['kind']}"] = poks[j]
 
-    ok = None
-    for v in checks.values():
-        ok = v if ok is None else (ok & v)
-    checks["ok"] = ok
     return checks
