@@ -144,6 +144,18 @@ def _permute_jax(state):
     import jax
     import jax.numpy as jnp
 
+    # large batches on an accelerator take the fused Pallas kernel
+    # (ops/poseidon_pallas.py): 16 lanes in separate registers, all 22
+    # rounds unrolled in VMEM — ~4x the lax.scan path on TPU.
+    n_states = 1
+    for d in state.shape[:-1]:
+        n_states *= d
+    if n_states >= 1024:
+        from ..ops import poseidon_pallas
+
+        if poseidon_pallas.available():
+            return poseidon_pallas.permute(state)
+
     s = mds16(state)
 
     def full_body(carry, rc):

@@ -31,3 +31,32 @@ def test_poseidon2_kat_jax():
     state = jnp.tile(jnp.arange(16, dtype=jnp.uint32), (4, 1))
     out = jax.jit(poseidon2.permute)(state)
     assert np.asarray(out)[0].tolist() == EXPECTED
+
+
+def test_pallas_kernel_body_bit_exact():
+    """The Pallas Poseidon2-16 kernel body is bit-exact vs the scalar
+    permute (kernel function run directly on CPU arrays; the compiled
+    path runs on real TPU in bench.py)."""
+    import jax.numpy as jnp
+
+    from recursive_stwo_tpu.core import poseidon2
+    from recursive_stwo_tpu.ops import poseidon_pallas
+
+    class FakeRef:
+        def __init__(self, arrs):
+            self.arrs = list(arrs)
+
+        def __getitem__(self, i):
+            return self.arrs[i]
+
+        def __setitem__(self, i, v):
+            self.arrs[i] = v
+
+    rng = np.random.default_rng(7)
+    xn = rng.integers(0, 2**31 - 1, size=(256, 16)).astype(np.uint32)
+    lanes = [jnp.asarray(xn[:, i].reshape(2, 128)) for i in range(16)]
+    in_ref = FakeRef(lanes)
+    out_ref = FakeRef([None] * 16)
+    poseidon_pallas._kernel(in_ref, out_ref)
+    out = np.stack([np.asarray(a).reshape(-1) for a in out_ref.arrs], axis=1)
+    assert np.array_equal(out, poseidon2.permute(xn))
