@@ -140,6 +140,17 @@ def permute(state):
     return s
 
 
+def _on_accelerator(x) -> bool:
+    """True unless the (concrete) array is committed to a CPU device.
+
+    Traced arrays have no placement; for those the caller's backend choice
+    (pallas availability) stands."""
+    try:
+        return next(iter(x.devices())).platform != "cpu"
+    except Exception:
+        return True
+
+
 def _permute_jax(state):
     import jax
     import jax.numpy as jnp
@@ -153,7 +164,7 @@ def _permute_jax(state):
     if n_states >= 1024:
         from ..ops import poseidon_pallas
 
-        if poseidon_pallas.available():
+        if poseidon_pallas.available() and _on_accelerator(state):
             return poseidon_pallas.permute(state)
 
     s = mds16(state)

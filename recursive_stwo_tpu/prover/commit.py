@@ -69,11 +69,16 @@ class CommittedTree:
         self.max_log = max(self.columns_by_log)
         self.levels: List[np.ndarray] = []  # index 0 = leaf level hashes
 
-        h = _hash_leaf_level(self.columns_by_log[self.max_log])
-        self.levels.append(h)
-        for L in range(self.max_log - 1, -1, -1):
-            h = _hash_node_level(h, self.columns_by_log.get(L))
+        from . import device
+
+        if device.enabled() and (1 << self.max_log) >= 1 << 12:
+            self.levels = device.merkle_levels(self.columns_by_log)
+        else:
+            h = _hash_leaf_level(self.columns_by_log[self.max_log])
             self.levels.append(h)
+            for L in range(self.max_log - 1, -1, -1):
+                h = _hash_node_level(h, self.columns_by_log.get(L))
+                self.levels.append(h)
         assert self.levels[-1].shape[0] == 1
 
     @property

@@ -29,7 +29,7 @@ from ..proof.containers import (
 )
 from ..recursion.composition import evaluate_plonk, evaluate_poseidon
 from ..verifier.spec import VerifierSpec
-from . import air, circle_fft, fri
+from . import air, circle_fft, device, fri
 from .channel import PoseidonChannel
 from .commit import CommittedTree
 from .eval_vars import ArrayEvalAtRow, ArrayAccumulator, EvalArray, LookupElementsArray
@@ -47,8 +47,8 @@ def _oods_point(t4):
     )
 
 
-def _basis_at_point(log_size: int, p4):
-    """(n, 4) QM31 basis values (y, x, pi(x), ... factors) at a point."""
+def _factors_at_point(log_size: int, p4):
+    """(log_size, 4) QM31 squaring-ladder factors (y, x, pi(x), ...)."""
     px, py = p4
     factors = [py, px]
     x = px
@@ -56,20 +56,38 @@ def _basis_at_point(log_size: int, p4):
         sq = scalar.q_mul(x, x)
         x = scalar.q_sub(scalar.q_add(sq, sq), scalar.QONE)
         factors.append(x)
-    factors = factors[:log_size]
+    return np.array(factors[:log_size], np.uint32)
+
+
+def _basis_at_point(log_size: int, p4):
+    """(n, 4) QM31 basis values (y, x, pi(x), ... factors) at a point."""
+    factors = _factors_at_point(log_size, p4)
     vals = [scalar.QONE]
     for f in factors:
+        f = tuple(int(v) for v in f)
         vals = vals + [scalar.q_mul(v, f) for v in vals]
     return np.array(vals, np.uint32)  # (n, 4)
 
 
-def _sample_columns(coeffs: np.ndarray, basis: np.ndarray) -> np.ndarray:
+def _sample_columns_host(coeffs: np.ndarray, basis: np.ndarray) -> np.ndarray:
     """coeffs (n_cols, n) M31 x basis (n, 4) QM31 -> samples (n_cols, 4)."""
     out = np.empty((coeffs.shape[0], 4), np.uint32)
     for k in range(4):
         prod = m31.mul(coeffs, basis[:, k][None, :])
         out[:, k] = (prod.astype(np.int64).sum(axis=1) % P).astype(np.uint32)
     return out
+
+
+def _sample_at(coeffs: np.ndarray, log_size: int, p4) -> np.ndarray:
+    """Sample all columns of an FFT-basis coefficient block at a point."""
+    if device.enabled() and coeffs.shape[-1] >= 1 << 12:
+        return device.sample_columns(coeffs, _factors_at_point(log_size, p4))
+    return _sample_columns_host(coeffs, _basis_at_point(log_size, p4))
+
+
+def _fft():
+    """Active circle-FFT backend (device when enabled, else numpy)."""
+    return device if device.enabled() else circle_fft
 
 
 def _point_sub_step_perm(dom_log: int, step_index: int) -> np.ndarray:
@@ -113,7 +131,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     assert spec.n_inner_layers == spec.expected_n_inner_layers
 
     def lde(rows: np.ndarray, target_log: int) -> np.ndarray:
-        return circle_fft.evaluate_lde(air.to_domain_order(rows), target_log)
+        return _fft().evaluate_lde(air.to_domain_order(rows), target_log)
 
     channel = PoseidonChannel()
 
@@ -167,15 +185,15 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
         z4, alpha4, random_coeff4, plonk_total, pos_total,
     )
     comp_coeffs = np.stack(
-        [circle_fft.interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
+        [_fft().interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
     )  # (4, 2^bound)
     half = 1 << (bound - 1)
     left_coeffs = comp_coeffs[:, :half]
     right_coeffs = comp_coeffs[:, half:]
     comp_cols_lde = np.concatenate(
         [
-            circle_fft.evaluate(circle_fft.extend(left_coeffs, bound - 1 + blowup)),
-            circle_fft.evaluate(circle_fft.extend(right_coeffs, bound - 1 + blowup)),
+            _fft().evaluate(circle_fft.extend(left_coeffs, bound - 1 + blowup)),
+            _fft().evaluate(circle_fft.extend(right_coeffs, bound - 1 + blowup)),
         ]
     )  # (8, 2^(bound-1+blowup))
     tree3 = CommittedTree({bound - 1 + blowup: comp_cols_lde})
@@ -187,12 +205,12 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
 
     # ---- OODS samples ----
     col_coeffs = {
-        (0, lp): circle_fft.interpolate(air.to_domain_order(plonk_pre)),
-        (0, lq): circle_fft.interpolate(air.to_domain_order(pos_pre)),
-        (1, lp): circle_fft.interpolate(air.to_domain_order(plonk_tr)),
-        (1, lq): circle_fft.interpolate(air.to_domain_order(pos_tr)),
-        (2, lp): circle_fft.interpolate(air.to_domain_order(int_plonk)),
-        (2, lq): circle_fft.interpolate(air.to_domain_order(int_pos)),
+        (0, lp): _fft().interpolate(air.to_domain_order(plonk_pre)),
+        (0, lq): _fft().interpolate(air.to_domain_order(pos_pre)),
+        (1, lp): _fft().interpolate(air.to_domain_order(plonk_tr)),
+        (1, lq): _fft().interpolate(air.to_domain_order(pos_tr)),
+        (2, lp): _fft().interpolate(air.to_domain_order(int_plonk)),
+        (2, lq): _fft().interpolate(air.to_domain_order(int_pos)),
         (3, bound - 1): np.concatenate([left_coeffs, right_coeffs]),
     }
     shifted = {}
@@ -204,13 +222,9 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     for key, coeffs in col_coeffs.items():
         t, log = key
         deg_log = coeffs.shape[1].bit_length() - 1
-        samples_at[(key, 0)] = _sample_columns(
-            coeffs, _basis_at_point(deg_log, oods)
-        )
+        samples_at[(key, 0)] = _sample_at(coeffs, deg_log, oods)
         if t == 2:
-            samples_at[(key, -1)] = _sample_columns(
-                coeffs, _basis_at_point(deg_log, shifted[log])
-            )
+            samples_at[(key, -1)] = _sample_at(coeffs, deg_log, shifted[log])
 
     sampled_values = _assemble_samples(spec, lp, lq, bound, samples_at)
     plog("OODS samples computed")
@@ -414,9 +428,9 @@ def _composition_evals(
         (plonk_pre, plonk_tr, int_plonk, plonk_total, spec.log_size_plonk),
         (pos_pre, pos_tr, int_pos, pos_total, spec.log_size_poseidon),
     ):
-        pre_l = circle_fft.evaluate_lde(air.to_domain_order(pre), bound)
-        tr_l = circle_fft.evaluate_lde(air.to_domain_order(tr), bound)
-        int_l = circle_fft.evaluate_lde(air.to_domain_order(inter), bound)
+        pre_l = _fft().evaluate_lde(air.to_domain_order(pre), bound)
+        tr_l = _fft().evaluate_lde(air.to_domain_order(tr), bound)
+        int_l = _fft().evaluate_lde(air.to_domain_order(inter), bound)
 
         step_index = ccircle.Coset.odds(log).step_index
         perm = _point_sub_step_perm(bound, step_index)

@@ -30,10 +30,11 @@ from .eval_vars import (
 from .prove import (
     _add_const,
     _basis_at_point,
+    _fft,
     _fri_tail,
     _oods_point,
     _point_sub_step_perm,
-    _sample_columns,
+    _sample_at,
 )
 
 
@@ -44,9 +45,9 @@ def _composition_evals_np(spec, bound, pre, tr, inter, z4, alpha4, rc4, total):
     x, _ = circle_fft.domain_points_bit_reversed(bound)
     log = spec.log_size
 
-    pre_l = circle_fft.evaluate_lde(air.to_domain_order(pre), bound)
-    tr_l = circle_fft.evaluate_lde(air.to_domain_order(tr), bound)
-    int_l = circle_fft.evaluate_lde(air.to_domain_order(inter), bound)
+    pre_l = _fft().evaluate_lde(air.to_domain_order(pre), bound)
+    tr_l = _fft().evaluate_lde(air.to_domain_order(tr), bound)
+    int_l = _fft().evaluate_lde(air.to_domain_order(inter), bound)
 
     step_index = ccircle.Coset.odds(log).step_index
     perm = _point_sub_step_perm(bound, step_index)
@@ -137,7 +138,7 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
     bound = spec.composition_log_degree_bound
 
     def lde(rows, target_log):
-        return circle_fft.evaluate_lde(air.to_domain_order(rows), target_log)
+        return _fft().evaluate_lde(air.to_domain_order(rows), target_log)
 
     channel = PoseidonChannel()
 
@@ -169,15 +170,15 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
         spec, bound, pre, tr, inter, z4, alpha4, random_coeff4, total
     )
     comp_coeffs = np.stack(
-        [circle_fft.interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
+        [_fft().interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
     )
     half = 1 << (bound - 1)
     left_coeffs = comp_coeffs[:, :half]
     right_coeffs = comp_coeffs[:, half:]
     comp_cols_lde = np.concatenate(
         [
-            circle_fft.evaluate(circle_fft.extend(left_coeffs, bound - 1 + blowup)),
-            circle_fft.evaluate(circle_fft.extend(right_coeffs, bound - 1 + blowup)),
+            _fft().evaluate(circle_fft.extend(left_coeffs, bound - 1 + blowup)),
+            _fft().evaluate(circle_fft.extend(right_coeffs, bound - 1 + blowup)),
         ]
     )
     tree3 = CommittedTree({bound - 1 + blowup: comp_cols_lde})
@@ -188,9 +189,9 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
     oods = _oods_point(oods_t4)
 
     col_coeffs = {
-        0: circle_fft.interpolate(air.to_domain_order(pre)),
-        1: circle_fft.interpolate(air.to_domain_order(tr)),
-        2: circle_fft.interpolate(air.to_domain_order(inter)),
+        0: _fft().interpolate(air.to_domain_order(pre)),
+        1: _fft().interpolate(air.to_domain_order(tr)),
+        2: _fft().interpolate(air.to_domain_order(inter)),
         3: np.concatenate([left_coeffs, right_coeffs]),
     }
     step = ccircle.CanonicCoset(L).step()
@@ -199,11 +200,9 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
     samples_at = {}
     for t, coeffs in col_coeffs.items():
         deg_log = coeffs.shape[1].bit_length() - 1
-        samples_at[(t, 0)] = _sample_columns(coeffs, _basis_at_point(deg_log, oods))
+        samples_at[(t, 0)] = _sample_at(coeffs, deg_log, oods)
         if t == 2:
-            samples_at[(t, -1)] = _sample_columns(
-                coeffs, _basis_at_point(deg_log, shifted[L])
-            )
+            samples_at[(t, -1)] = _sample_at(coeffs, deg_log, shifted[L])
 
     sampled_values = _assemble_samples_np(spec, bound, samples_at)
     plog("OODS samples computed")
