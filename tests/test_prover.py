@@ -140,7 +140,8 @@ def test_corrupted_trace_rejected():
     try:
         pa = hints.prepare(spec, [proof])
         checks = verify.verify_batch(spec, pa, INPUTS3)
-        assert not bool(np.asarray(checks["ok"])[0])
-    except AssertionError as e:
+        rejected = not bool(np.asarray(checks["ok"])[0])
+    except AssertionError:
         # rejection during hint expansion is equally acceptable
-        assert "mismatch" in str(e) or "last layer" in str(e) or True
+        rejected = True
+    assert rejected, "corrupted trace was accepted by the verifier"

@@ -80,6 +80,30 @@ def test_wrong_public_inputs_fail(small_proof):
     assert not bool(checks["ok"][0])
 
 
+def test_corrupted_sibling_hash_fails_exactly_that_tree(small_proof):
+    """Device path: flipping one sibling hash in tree t's decommitment must
+    flip exactly the tree{t} check (and 'ok') under jit, leaving every other
+    check untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = VerifierSpec.from_proof(small_proof)
+    pa = hints.prepare(spec, [small_proof])
+    t = 1
+    sib = np.asarray(pa.tree_paths[t].sibling_hashes).copy()
+    sib[0, 0, 0, 0] ^= 1
+    bad_tree = pa.tree_paths[t]._replace(sibling_hashes=sib)
+    bad = pa._replace(
+        tree_paths=tuple(
+            bad_tree if i == t else tp for i, tp in enumerate(pa.tree_paths)
+        )
+    )
+    fn = jax.jit(lambda a: verify.verify_batch(spec, a, verify.INPUTS_ONE))
+    checks = jax.tree.map(np.asarray, fn(jax.tree.map(jnp.asarray, bad)))
+    failing = sorted(k for k, v in checks.items() if not bool(v[0]))
+    assert failing == ["ok", f"tree{t}"], failing
+
+
 def test_batch_of_two(small_proof):
     spec = VerifierSpec.from_proof(small_proof)
     pa = hints.prepare(spec, [small_proof, small_proof])

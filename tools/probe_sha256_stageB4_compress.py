@@ -93,7 +93,6 @@ def compile_family(name, felts):
     stream = limbstream(felts, limb_rev, felt_rev, be)
     nf = np.asarray(felts, np.uint32).reshape(-1, 4).shape[0]
     pf, df = ("pf2", "df2") if dbl else ("pf", "df")
-    pad = (-len(stream)) % 32
     chunks = [stream[i : i + 32] + bytes(32 - len(stream[i : i + 32])) for i in range(0, len(stream), 32)]
     if base == "pairs_pf":
         return ("ops", [(c, pf) for c in chunks])

@@ -1,9 +1,12 @@
-"""Stage B5: B4 + skip-site families, extra PoW limb conventions, sha256d nonces.: compression-function mixing + reversals + length
-prefixes + sha256d, cross-site, PoW oracle.
+"""Stage B5: extends B4's cross-site PoW-oracle search with three new axes:
+skip-site mix families (a transcript site omitted from the chain entirely),
+additional PoW nonce limb conventions (le8/be8 with zero padding, sha256d'd
+nonces), and double-hash variants of every B4 family.
 
-Upstream stwo's Blake2sChannel mixes felts with the raw COMPRESSION function
-(digest as chaining value, felts packed into message blocks, no padding).
-A faithful sha256 mirror would be invisible to all plain-sha256 probes.
+Shares B4's premise: upstream stwo's Blake2sChannel mixes felts with the raw
+COMPRESSION function (digest as chaining value, felts packed into message
+blocks, no padding), so a faithful sha256 mirror would be invisible to all
+plain-sha256 probes — hence the compression-function families carried over.
 """
 import hashlib, os, sys, struct
 import numpy as np
@@ -95,7 +98,6 @@ def compile_family(name, felts):
     stream = limbstream(felts, limb_rev, felt_rev, be)
     nf = np.asarray(felts, np.uint32).reshape(-1, 4).shape[0]
     pf, df = ("pf2", "df2") if dbl else ("pf", "df")
-    pad = (-len(stream)) % 32
     chunks = [stream[i : i + 32] + bytes(32 - len(stream[i : i + 32])) for i in range(0, len(stream), 32)]
     if base == "pairs_pf":
         return ("ops", [(c, pf) for c in chunks])
