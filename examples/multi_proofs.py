@@ -26,12 +26,15 @@ TESTDATA = os.path.join(
 )
 INPUTS3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
 
-# the reference's config presets (multi-proofs/src/main.rs:173-196)
+# the reference's six config presets, exactly
+# (multi-proofs/src/main.rs:173-196)
 PRESETS = {
-    "fast_prover": PcsConfig(pow_bits=20, fri_config=FriConfig(7, 1, 80)),
-    "balanced": PcsConfig(pow_bits=20, fri_config=FriConfig(5, 3, 28)),
-    "fast_verifier": PcsConfig(pow_bits=24, fri_config=FriConfig(2, 7, 12)),
-    "dest": PcsConfig(pow_bits=20, fri_config=FriConfig(8, 5, 16)),
+    "standard": PcsConfig(pow_bits=20, fri_config=FriConfig(8, 5, 16)),
+    "fast_prover": PcsConfig(pow_bits=20, fri_config=FriConfig(8, 1, 80)),
+    "fast_prover2": PcsConfig(pow_bits=20, fri_config=FriConfig(8, 3, 27)),
+    "fast_verifier": PcsConfig(pow_bits=23, fri_config=FriConfig(8, 7, 11)),
+    "fast_verifier2": PcsConfig(pow_bits=20, fri_config=FriConfig(8, 8, 10)),
+    "fast_verifier3": PcsConfig(pow_bits=28, fri_config=FriConfig(7, 9, 8)),
 }
 
 
@@ -70,7 +73,7 @@ def main():
     multipliers = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     with open(os.path.join(TESTDATA, "small_proof.bin"), "rb") as f:
         proof = parse_plonk_with_poseidon_proof(f.read())
-    demo_recurse(proof, multipliers, [(1, (1, 0, 0, 0))], PRESETS["dest"])
+    demo_recurse(proof, multipliers, [(1, (1, 0, 0, 0))], PRESETS["standard"])
 
 
 if __name__ == "__main__":

@@ -165,6 +165,11 @@ def permute(state):
 
 @lru_cache(maxsize=1)
 def available() -> bool:
+    """True when the computation will be lowered for an accelerator.
+
+    Respects an active `jax.default_device` context (pallas_call has no CPU
+    lowering, so tracing must fall back to the scan path when the program
+    is being staged for the host backend)."""
     import os
 
     if os.environ.get("RSTPU_NO_PALLAS"):
@@ -172,6 +177,9 @@ def available() -> bool:
     try:
         import jax
 
+        default = jax.config.jax_default_device
+        if default is not None:
+            return default.platform not in ("cpu",)
         return jax.devices()[0].platform not in ("cpu",)
     except Exception:  # pragma: no cover
         return False

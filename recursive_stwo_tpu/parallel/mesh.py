@@ -59,6 +59,33 @@ def verify_sharded(
     return run(pa)
 
 
+def verify_sharded_padded(
+    spec: VerifierSpec,
+    pa: ProofArrays,
+    inputs=verify_mod.INPUTS_ONE,
+    mesh: Mesh = None,
+    axis: str = "proofs",
+):
+    """verify_sharded for batch sizes that do not divide the mesh: the batch
+    is padded by replicating row 0 (a structurally valid proof) up to the
+    next mesh multiple; verdicts are truncated back to the real prefix and
+    the collective verdict ignores the padding."""
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    B = np.asarray(pa.commitments).shape[0]
+    pad = (-B) % n_dev
+    if pad:
+        def _pad(x):
+            x = np.asarray(x)
+            reps = np.repeat(x[:1], pad, axis=0)
+            return np.concatenate([x, reps], axis=0)
+
+        pa = jax.tree.map(_pad, pa)
+    ok, _ = verify_sharded(spec, pa, inputs, mesh, axis)
+    ok = ok[:B]
+    return ok, jnp.all(ok)
+
+
 def verify_shard_map(
     spec: VerifierSpec,
     pa: ProofArrays,

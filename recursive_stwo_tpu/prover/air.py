@@ -229,6 +229,26 @@ def poseidon_columns(trace: dict) -> Tuple[np.ndarray, np.ndarray, int]:
 # Interaction (logup) trace generation — reuses the AIR definitions
 # ---------------------------------------------------------------------------
 
+def _modsum(limb):
+    """Modular sum of a 1-D M31 limb array -> scalar (numpy or traced)."""
+    if type(limb).__module__.startswith("jax"):
+        from ..verifier.quotients import m31_modsum
+
+        return m31_modsum(limb, axis=0)
+    return np.uint32(np.sum(np.asarray(limb, np.int64)) % ((1 << 31) - 1))
+
+
+def _modcumsum(limb):
+    """Inclusive modular prefix sum of a 1-D M31 limb array."""
+    if type(limb).__module__.startswith("jax"):
+        import jax
+
+        return jax.lax.associative_scan(m31.add, limb)
+    return (np.cumsum(np.asarray(limb, np.int64)) % ((1 << 31) - 1)).astype(
+        np.uint32
+    )
+
+
 class InteractionBuilder(ArrayEvalAtRow):
     """Runs evaluate_plonk/evaluate_poseidon in 'generation mode': collects
     the relation fractions and synthesizes the interaction columns instead
@@ -263,28 +283,22 @@ class InteractionBuilder(ArrayEvalAtRow):
             cols.append(acc)
         prev_col = acc
         S = prev_col + fracs[-1]
-        total = tuple(
-            int(np.sum(np.asarray(limb, np.int64)) % ((1 << 31) - 1))
-            for limb in S.v
-        )
+        total = q.QM31(*(_modsum(limb) for limb in S.v))
         self.total_sum = total
         from ..cs import scalar
 
-        shift = scalar.q_mul_m31(total, scalar.m_inv(self.n))
-        adj = q.q_sub(S.v, q.QM31(*(np.full(self.n, np.uint32(x)) for x in shift)))
-        last = q.QM31(
-            *(
-                (np.cumsum(np.asarray(limb, np.int64)) % ((1 << 31) - 1)).astype(
-                    np.uint32
-                )
-                for limb in adj
-            )
-        )
+        shift = q.q_mul_m31(total, np.uint32(scalar.m_inv(self.n)))
+        adj = q.q_sub(S.v, shift)
+        last = q.QM31(*(_modcumsum(limb) for limb in adj))
         cols.append(EvalArray(last))
 
         for col in cols:
             for limb in col.v:
-                self.columns.append(np.asarray(limb, np.uint32))
+                self.columns.append(
+                    limb
+                    if type(limb).__module__.startswith("jax")
+                    else np.asarray(limb, np.uint32)
+                )
         self.fracs = []
 
 

@@ -136,6 +136,58 @@ def evaluate_lde(values, lde_log_size: int):
     return evaluate(extend(interpolate(values), lde_log_size))
 
 
+# -- traced twins (jax arrays in jit context; twiddles enter as numpy
+#    constants and are lifted by the tracer) -------------------------------
+
+def interpolate_traced(values):
+    import jax.numpy as jnp
+
+    n = values.shape[-1]
+    log_size = n.bit_length() - 1
+    itw = _inv_twiddles(log_size)
+    v = values
+    for layer in range(log_size):
+        step = 1 << layer
+        g = v.reshape(v.shape[:-1] + (n // (2 * step), 2, step))
+        a, b = g[..., 0, :], g[..., 1, :]
+        t = itw[layer].reshape((n // (2 * step), 1))
+        v = jnp.stack(
+            [m31.add(a, b), m31.mul(m31.sub(a, b), t)], axis=-2
+        ).reshape(v.shape)
+    return m31.mul(v, m31.inv(np.uint32(1 << log_size)))
+
+
+def evaluate_traced(coeffs):
+    import jax.numpy as jnp
+
+    n = coeffs.shape[-1]
+    log_size = n.bit_length() - 1
+    tw = _twiddles(log_size)
+    v = coeffs
+    for layer in reversed(range(log_size)):
+        step = 1 << layer
+        g = v.reshape(v.shape[:-1] + (n // (2 * step), 2, step))
+        f0, f1 = g[..., 0, :], g[..., 1, :]
+        t = tw[layer].reshape((n // (2 * step), 1))
+        tf1 = m31.mul(f1, t)
+        v = jnp.stack([m31.add(f0, tf1), m31.sub(f0, tf1)], axis=-2).reshape(
+            v.shape
+        )
+    return v
+
+
+def extend_traced(coeffs, target_log_size: int):
+    import jax.numpy as jnp
+
+    n = coeffs.shape[-1]
+    target = 1 << target_log_size
+    assert target >= n
+    if target == n:
+        return coeffs
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, target - n)]
+    return jnp.pad(coeffs, pad)
+
+
 def eval_basis_at_point(log_size: int, px, py, q_ops):
     """All 2^log_size basis values at an extension-field point.
 

@@ -83,50 +83,79 @@ class CommittedTree:
 
     @property
     def root(self) -> np.ndarray:
-        return self.levels[-1][0]
+        return np.asarray(self.levels[-1][0])
 
     def n_columns_per_log_size(self) -> Dict[int, int]:
         return {L: c.shape[0] for L, c in self.columns_by_log.items()}
 
+    # -- gather primitives (overridden by the device tree to avoid pulling
+    #    whole levels off the accelerator) --------------------------------
+
+    def level_rows(self, level_idx: int, indices: List[int]) -> np.ndarray:
+        """(len(indices), 8) node hashes of tree level `level_idx`."""
+        return np.asarray(self.levels[level_idx])[np.asarray(indices, np.int64)]
+
+    def column_rows(self, log_size: int, indices: List[int]) -> np.ndarray:
+        """(n_cols, len(indices)) column openings at the given positions."""
+        cols = self.columns_by_log[log_size]
+        return np.asarray(cols)[:, np.asarray(indices, np.int64)]
+
     def decommit(self, raw_queries: List[int]) -> Tuple[np.ndarray, MerkleDecommitment]:
         """(queried_values stream, decommitment) for the given (unsorted,
         possibly duplicated) leaf queries — inverse of
-        verifier/hints.expand_single_paths."""
+        verifier/hints.expand_single_paths.
+
+        Two passes: a host-side index plan (pure query math), then batched
+        gathers per level (`level_rows`/`column_rows`), so the same code
+        path serves numpy levels and device-resident levels."""
         queries = sorted(set(int(q) for q in raw_queries))
-        values: List[int] = []
-        hash_witness: List[np.ndarray] = []
 
-        top_cols = self.columns_by_log[self.max_log]
-        for qq in queries:
-            values.extend(int(v) for v in top_cols[:, qq])
-
+        # -- pass 1: plan ---------------------------------------------------
+        value_plan: List[Tuple[int, List[int]]] = [(self.max_log, queries)]
+        witness_plan: List[Tuple[int, List[int]]] = []  # (level_idx, sibs)
         computed = set(queries)  # node indices at the current level
         positions = queries
         for i in range(self.max_log):
             level_log = self.max_log - 1 - i
-            cols = self.columns_by_log.get(level_log)
+            has_cols = level_log in self.columns_by_log
             parents: List[int] = []
+            sibs: List[int] = []
             seen = set()
             for position in positions:
                 parent = position >> 1
                 if parent in seen:
                     continue
                 seen.add(parent)
-                if cols is not None:
-                    values.extend(int(v) for v in cols[:, parent])
                 sibling = position ^ 1
                 if sibling not in computed:
-                    hash_witness.append(self.levels[i][sibling])
+                    sibs.append(sibling)
                 parents.append(parent)
+            if has_cols and parents:
+                value_plan.append((level_log, parents))
+            if sibs:
+                witness_plan.append((i, sibs))
             computed = seen
             positions = sorted(parents)
 
+        # -- pass 2: gather ---------------------------------------------------
+        values: List[np.ndarray] = []
+        for level_log, idx in value_plan:
+            gathered = self.column_rows(level_log, idx)  # (n_cols, len(idx))
+            values.append(gathered.T.reshape(-1))
+        hash_witness = [
+            self.level_rows(i, sibs) for i, sibs in witness_plan
+        ]
+
         decommitment = MerkleDecommitment(
             hash_witness=(
-                np.stack(hash_witness)
+                np.concatenate(hash_witness)
                 if hash_witness
                 else np.zeros((0, 8), np.uint32)
             ),
             column_witness=np.zeros(0, np.uint32),
         )
-        return np.array(values, np.uint32), decommitment
+        return (
+            np.concatenate(values).astype(np.uint32)
+            if values
+            else np.zeros(0, np.uint32)
+        ), decommitment

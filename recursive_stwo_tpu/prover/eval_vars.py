@@ -13,8 +13,20 @@ from ..core import qm31 as q
 from ..core.qm31 import QM31
 
 
+def _coerce(x):
+    """uint32 coercion that leaves jax arrays on device."""
+    if type(x).__module__.startswith("jax"):
+        return x
+    return np.asarray(x, np.uint32)
+
+
 class EvalArray:
-    """A QM31-valued column over the evaluation domain (SoA limbs)."""
+    """A QM31-valued column over the evaluation domain (SoA limbs).
+
+    Backend-agnostic: limbs may be numpy (host prover) or jax arrays
+    (device prover / inside jit).  Constants are stored as uint32 scalars
+    and rely on broadcasting, so no full-domain constant columns are ever
+    materialized in a traced program."""
 
     __slots__ = ("v",)
 
@@ -23,23 +35,22 @@ class EvalArray:
 
     @classmethod
     def from_limbs(cls, a, b=None, c=None, d=None) -> "EvalArray":
-        z = np.zeros_like(np.asarray(a, np.uint32))
+        a = _coerce(a)
+        z = a * np.uint32(0)
         return cls(
             QM31(
-                np.asarray(a, np.uint32),
-                z if b is None else np.asarray(b, np.uint32),
-                z if c is None else np.asarray(c, np.uint32),
-                z if d is None else np.asarray(d, np.uint32),
+                a,
+                z if b is None else _coerce(b),
+                z if c is None else _coerce(c),
+                z if d is None else _coerce(d),
             )
         )
 
     @classmethod
-    def const(cls, value4, n: int) -> "EvalArray":
-        return cls(
-            QM31(
-                *(np.full(n, np.uint32(v), np.uint32) for v in value4)
-            )
-        )
+    def const(cls, value4, n: int = 0) -> "EvalArray":
+        """Broadcastable constant; `n` kept for API compat, unused."""
+        del n
+        return cls(QM31(*(np.uint32(int(v) % 2147483647) for v in value4)))
 
     def __add__(self, rhs: "EvalArray") -> "EvalArray":
         return EvalArray(q.q_add(self.v, rhs.v))
@@ -69,20 +80,32 @@ class EvalArray:
         return EvalArray(q.q_inv(self.v))
 
 
+def _qm31_of(v4) -> QM31:
+    """QM31 / 4-tuple of ints / (4,)-shaped array (numpy or jax) -> QM31
+    scalars, with traced components passed through untouched."""
+    if isinstance(v4, QM31):
+        return v4
+    if isinstance(v4, (tuple, list)):
+        return QM31(
+            *(
+                x if type(x).__module__.startswith("jax") else np.uint32(int(x))
+                for x in v4
+            )
+        )
+    return QM31(v4[0], v4[1], v4[2], v4[3])
+
+
 class LookupElementsArray:
     """z / alpha as broadcast EvalArrays with the gadget's combine()."""
 
-    def __init__(self, z4, alpha4, n: int):
-        z4 = tuple(int(v) for v in z4)
-        alpha4 = tuple(int(v) for v in alpha4)
-        self.z = EvalArray.const(z4, n)
-        self.alpha = EvalArray.const(alpha4, n)
-        from ..cs import scalar
-
+    def __init__(self, z4, alpha4, n: int = 0):
+        del n
+        self.z = EvalArray(_qm31_of(z4))
+        self.alpha = EvalArray(_qm31_of(alpha4))
         self.alpha_powers = [
-            EvalArray.const(scalar.QONE, n),
+            EvalArray(q.q_one(self.alpha.v.a)),
             self.alpha,
-            EvalArray.const(scalar.q_mul(alpha4, alpha4), n),
+            self.alpha * self.alpha,
         ]
 
     def combine(self, values) -> EvalArray:
@@ -95,9 +118,10 @@ class LookupElementsArray:
 class ArrayAccumulator:
     """Horner accumulation over random_coeff, pointwise."""
 
-    def __init__(self, random_coeff4, n: int):
-        self.random_coeff = EvalArray.const(random_coeff4, n)
-        self.accumulation = EvalArray.const((0, 0, 0, 0), n)
+    def __init__(self, random_coeff4, n: int = 0):
+        del n
+        self.random_coeff = EvalArray(_qm31_of(random_coeff4))
+        self.accumulation = EvalArray.const((0, 0, 0, 0))
 
     def accumulate(self, evaluation: EvalArray) -> None:
         self.accumulation = (self.accumulation * self.random_coeff) + evaluation
@@ -115,10 +139,13 @@ class ArrayEvalAtRow:
         self.mask = mask  # [tree][col] -> [EvalArray per sample]
         self.denom_inverse = denom_inverse
         self.accumulator = accumulator
-        self.cumsum_shift = EvalArray.const(
-            scalar.q_mul_m31(tuple(int(x) for x in total_sum4),
-                             scalar.m_inv(1 << log_size)),
-            n,
+        # cumsum_shift = total_sum / 2^log_size; total_sum4 may be a tuple of
+        # ints (host) or (4,) traced scalars (device jit)
+        self.cumsum_shift = EvalArray(
+            q.q_mul_m31(
+                _qm31_of(total_sum4),
+                np.uint32(scalar.m_inv(1 << log_size)),
+            )
         )
         self.n = n
         self.fracs = []

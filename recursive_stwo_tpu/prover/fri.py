@@ -10,7 +10,7 @@ polynomial interpolates the folded values, absorbing the scale).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -46,7 +46,12 @@ def line_fold_xinv(log_size: int) -> np.ndarray:
     return m31.inv(xs)
 
 
-def _q_limbs(v: QM31) -> np.ndarray:
+def _q_limbs(v: QM31):
+    """(4, N) M31 limb stack, staying on the input's backend."""
+    if type(v.a).__module__.startswith("jax"):
+        import jax.numpy as jnp
+
+        return jnp.stack(list(v))
     return np.stack([np.asarray(c, np.uint32) for c in v])  # (4, N)
 
 
@@ -55,7 +60,7 @@ def _q_of_limbs(arr: np.ndarray) -> QM31:
 
 
 def fold_circle(evals: QM31, alpha4) -> QM31:
-    n = np.asarray(evals.a).shape[0]
+    n = evals.a.shape[0]
     log = n.bit_length() - 1
     yinv = circle_fold_yinv(log)
     l = QM31(*(c[0::2] for c in evals))
@@ -137,15 +142,19 @@ def decommit_pair(
     tree: CommittedTree, leaf_queries: List[int]
 ) -> MerkleDecommitment:
     """Hash witness for the dual-track pair walk, in exactly the
-    consumption order of verifier/hints.expand_pair_paths."""
+    consumption order of verifier/hints.expand_pair_paths.
+
+    Plan (index math) then batched gathers via `tree.level_rows`, so the
+    same code serves host and device-resident trees."""
     max_log = tree.max_log
     data_set = set(tree.columns_by_log)
-    hash_witness: List[np.ndarray] = []
+    plan: List[Tuple[int, List[int]]] = []  # (levels index, node indices)
 
     queries = sorted(set(int(v) for v in leaf_queries))
     touched: set = set()  # nodes at the level below current with hashes
     for current in range(max_log, -1, -1):
         level_idx = max_log - current  # tree.levels index of `current`
+        wanted: List[int] = []
         if current in data_set:
             new_touched = set()
             for qq in queries:
@@ -155,9 +164,7 @@ def decommit_pair(
                 for qq in sorted(new_touched):
                     for idx in (qq << 1, (qq << 1) | 1):
                         if idx not in touched:
-                            hash_witness.append(
-                                tree.levels[level_idx - 1][idx]
-                            )
+                            wanted.append(idx)
                             touched.add(idx)
             touched_next = new_touched
         else:
@@ -167,18 +174,36 @@ def decommit_pair(
                 touched_next.add(qq)
                 for idx in (qq << 1, (qq << 1) | 1):
                     if idx not in touched:
-                        hash_witness.append(tree.levels[level_idx - 1][idx])
+                        wanted.append(idx)
                         touched.add(idx)
+        if wanted:
+            plan.append((level_idx - 1, wanted))
         touched = touched_next
         queries = sorted({qq >> 1 for qq in queries})
 
+    hash_witness = [tree.level_rows(li, idx) for li, idx in plan]
     return MerkleDecommitment(
         hash_witness=(
-            np.stack(hash_witness)
+            np.concatenate(hash_witness)
             if hash_witness
             else np.zeros((0, 8), np.uint32)
         ),
         column_witness=np.zeros(0, np.uint32),
+    )
+
+
+def gather_qm31(evals: QM31, positions: List[int]) -> np.ndarray:
+    """(len(positions), 4) host rows of a (possibly device-resident) QM31
+    eval vector — one batched gather per limb."""
+    if not positions:
+        return np.zeros((0, 4), np.uint32)
+    idx = np.asarray(positions, np.int64)
+    if type(evals.a).__module__.startswith("jax"):
+        return np.stack(
+            [np.asarray(c[idx]) for c in evals], axis=1
+        ).astype(np.uint32)
+    return np.stack(
+        [np.asarray(c, np.uint32)[idx] for c in evals], axis=1
     )
 
 
@@ -187,21 +212,25 @@ def first_layer_witness(
 ) -> np.ndarray:
     """fri_witness for the first layer: sibling values the verifier cannot
     derive (order per verifier/hints.rebuild_first_layer_evals)."""
-    out: List[tuple] = []
+    rows: List[np.ndarray] = []
     for L in sorted(group_evals, reverse=True):
         evals = group_evals[L]
         qs = sorted({qq >> (max_log - L) for qq in raw_queries})
         covered = set(qs)
+        positions: List[int] = []
         i = 0
         while i < len(qs):
             start = (qs[i] >> 1) << 1
             for pos in (start, start + 1):
                 if pos not in covered:
-                    out.append(
-                        tuple(int(np.asarray(c)[pos]) for c in evals)
-                    )
+                    positions.append(pos)
             i += 2 if (i + 1 < len(qs) and qs[i + 1] == start + 1) else 1
-    return np.array(out, np.uint32).reshape(-1, 4)
+        rows.append(gather_qm31(evals, positions))
+    return (
+        np.concatenate(rows).reshape(-1, 4)
+        if rows
+        else np.zeros((0, 4), np.uint32)
+    )
 
 
 def inner_layer_witness(evals: QM31, queries: List[int]) -> np.ndarray:
@@ -209,8 +238,5 @@ def inner_layer_witness(evals: QM31, queries: List[int]) -> np.ndarray:
     itself queried (sorted order, per verifier/hints.prepare inner loop)."""
     qs = sorted(set(queries))
     qset = set(qs)
-    out = []
-    for k in qs:
-        if (k ^ 1) not in qset:
-            out.append(tuple(int(np.asarray(c)[k ^ 1]) for c in evals))
-    return np.array(out, np.uint32).reshape(-1, 4)
+    positions = [k ^ 1 for k in qs if (k ^ 1) not in qset]
+    return gather_qm31(evals, positions).reshape(-1, 4)

@@ -108,6 +108,13 @@ def _point_sub_step_perm(dom_log: int, step_index: int) -> np.ndarray:
 def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonProof:
     import logging
 
+    if device.enabled():
+        # device-resident pipeline: tensors stay on the accelerator for the
+        # whole proof; bit-exact twin of the numpy flow below
+        from .device_prove import prove_device
+
+        return prove_device(trace, config, progress)
+
     plog = progress or logging.getLogger(__name__).debug
     blowup = config.fri_config.log_blowup_factor
 
@@ -165,6 +172,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     int_pos, pos_total = air.interaction_columns(
         pos_pre, pos_tr, z4, alpha4, evaluate_poseidon
     )
+    plog("interaction columns generated")
     channel.mix_two_felts(plonk_total, pos_total)
 
     int_plonk_lde = lde(int_plonk, lp + blowup)
@@ -184,6 +192,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
         pos_pre, pos_tr, int_pos,
         z4, alpha4, random_coeff4, plonk_total, pos_total,
     )
+    plog("composition evals computed")
     comp_coeffs = np.stack(
         [_fft().interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
     )  # (4, 2^bound)
@@ -204,14 +213,16 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     oods = _oods_point(oods_t4)
 
     # ---- OODS samples ----
+    # keys are (tree, table-tag), NOT (tree, log): lp == lq is legal (e.g.
+    # a fiat_shamir-only stage circuit) and must not collide
     col_coeffs = {
-        (0, lp): _fft().interpolate(air.to_domain_order(plonk_pre)),
-        (0, lq): _fft().interpolate(air.to_domain_order(pos_pre)),
-        (1, lp): _fft().interpolate(air.to_domain_order(plonk_tr)),
-        (1, lq): _fft().interpolate(air.to_domain_order(pos_tr)),
-        (2, lp): _fft().interpolate(air.to_domain_order(int_plonk)),
-        (2, lq): _fft().interpolate(air.to_domain_order(int_pos)),
-        (3, bound - 1): np.concatenate([left_coeffs, right_coeffs]),
+        (0, "p"): _fft().interpolate(air.to_domain_order(plonk_pre)),
+        (0, "q"): _fft().interpolate(air.to_domain_order(pos_pre)),
+        (1, "p"): _fft().interpolate(air.to_domain_order(plonk_tr)),
+        (1, "q"): _fft().interpolate(air.to_domain_order(pos_tr)),
+        (2, "p"): _fft().interpolate(air.to_domain_order(int_plonk)),
+        (2, "q"): _fft().interpolate(air.to_domain_order(int_pos)),
+        (3, "c"): np.concatenate([left_coeffs, right_coeffs]),
     }
     shifted = {}
     for log in (lp, lq):
@@ -220,11 +231,13 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
 
     samples_at = {}
     for key, coeffs in col_coeffs.items():
-        t, log = key
+        t, tag = key
         deg_log = coeffs.shape[1].bit_length() - 1
         samples_at[(key, 0)] = _sample_at(coeffs, deg_log, oods)
         if t == 2:
-            samples_at[(key, -1)] = _sample_at(coeffs, deg_log, shifted[log])
+            samples_at[(key, -1)] = _sample_at(
+                coeffs, deg_log, shifted[lp if tag == "p" else lq]
+            )
 
     sampled_values = _assemble_samples(spec, lp, lq, bound, samples_at)
     plog("OODS samples computed")
@@ -318,6 +331,7 @@ def _fri_tail(spec, config, channel, trees, group_evals, sampled_values, plog):
     # ---- PoW + queries ----
     plog("FRI layers committed; grinding PoW")
     nonce = channel.grind_pow(config.pow_bits)
+    plog("PoW ground")
     channel.mix_u64(nonce)
     raw_queries: List[int] = []
     for _ in range(-(-config.fri_config.n_queries // 8)):
@@ -394,8 +408,8 @@ def _assemble_samples(spec, lp, lq, bound, samples_at):
     sampled = []
     for t in range(3):
         tree_cols = []
-        plonk = samples_at[((t, lp), 0)]
-        pos = samples_at[((t, lq), 0)]
+        plonk = samples_at[((t, "p"), 0)]
+        pos = samples_at[((t, "q"), 0)]
         n_plonk = plonk.shape[0]
         for ci in range(n_plonk + pos.shape[0]):
             cur = plonk[ci] if ci < n_plonk else pos[ci - n_plonk]
@@ -403,11 +417,11 @@ def _assemble_samples(spec, lp, lq, bound, samples_at):
             if n_samples == 1:
                 tree_cols.append(cur[None, :])
             else:
-                prev_all = samples_at[((t, lp if ci < n_plonk else lq), -1)]
+                prev_all = samples_at[((t, "p" if ci < n_plonk else "q"), -1)]
                 prev = prev_all[ci if ci < n_plonk else ci - n_plonk]
                 tree_cols.append(np.stack([prev, cur]))
         sampled.append(tree_cols)
-    comp = samples_at[((3, bound - 1), 0)]
+    comp = samples_at[((3, "c"), 0)]
     sampled.append([comp[ci][None, :] for ci in range(8)])
     return sampled
 

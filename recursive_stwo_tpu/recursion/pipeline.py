@@ -25,12 +25,16 @@ from .fiat_shamir import FiatShamirResults
 from .folding import FoldingResults
 
 
+STAGES = ("fiat_shamir", "composition", "answer", "folding")
+
+
 def build_verifier_circuit(
     proof: PlonkWithPoseidonProof,
     inputs: List[Tuple[int, tuple]],
     cs: PlonkWithPoseidonCS | None = None,
     finalize: bool = True,
     cross_check: bool = True,
+    through_stage: str = "folding",
 ):
     """Verify `proof` inside a PlonkWithPoseidon circuit.
 
@@ -38,13 +42,20 @@ def build_verifier_circuit(
     Returns (cs, stage results dict). Multiple proofs can share one cs by
     passing it back in (the multi-proofs pattern,
     examples/multi-proofs/src/main.rs:69-139).
+
+    through_stage: build only the stage prefix ending here — mirrors the
+    reference's per-stage round-trip tests (e.g.
+    components/recursive/fiat_shamir/src/lib.rs:217-234), which prove each
+    stage's circuit standalone.
     """
+    assert through_stage in STAGES
+    k = STAGES.index(through_stage)
     spec = VerifierSpec.from_proof(proof)
     pa = hints_mod.prepare(spec, [proof])
     fs = transcript.run_transcript(spec, pa)
     native_answers = (
         hints_mod.host_fri_answers(spec, fs, pa, pa.tree_paths)
-        if cross_check
+        if cross_check and k >= 2
         else None
     )
 
@@ -55,29 +66,33 @@ def build_verifier_circuit(
     ]
 
     fs_results = FiatShamirResults.compute(spec, fs, proof_var, input_vars)
-    CompositionCheck.compute(
-        spec,
-        fs_results.lookup_elements,
-        fs_results.random_coeff,
-        fs_results.oods_point,
-        proof_var,
-    )
-    answer_results = AnswerResults.compute(
-        spec,
-        fs_results.oods_point,
-        fs_results,
-        proof_var,
-        pa.tree_paths,
-        native_answers,
-    )
-    FoldingResults.compute(
-        spec,
-        proof_var,
-        fs_results,
-        answer_results,
-        pa.first_layer_paths,
-        pa.inner_layer_paths,
-    )
+    answer_results = None
+    if k >= 1:
+        CompositionCheck.compute(
+            spec,
+            fs_results.lookup_elements,
+            fs_results.random_coeff,
+            fs_results.oods_point,
+            proof_var,
+        )
+    if k >= 2:
+        answer_results = AnswerResults.compute(
+            spec,
+            fs_results.oods_point,
+            fs_results,
+            proof_var,
+            pa.tree_paths,
+            native_answers,
+        )
+    if k >= 3:
+        FoldingResults.compute(
+            spec,
+            proof_var,
+            fs_results,
+            answer_results,
+            pa.first_layer_paths,
+            pa.inner_layer_paths,
+        )
 
     if finalize:
         cs.pad()

@@ -511,8 +511,11 @@ def _horner(constraints: List[QM31], rc: QM31) -> QM31:
     all_c = QM31(
         *(xp.concatenate([blk[i] for blk in constraints], axis=-1) for i in range(4))
     )
-    if not _is_jax(rc.a):
-        acc = q.q_zero(rc.a)
+    # zero carry shaped like one constraint column (rc may be a broadcast
+    # scalar when called from the prover's full-domain evaluation)
+    zero = q.q_zero(all_c.a[..., 0])
+    if not _is_jax(all_c.a):
+        acc = zero
         for t in range(all_c.a.shape[-1]):
             acc = q.q_add(q.q_mul(acc, rc), QM31(*(c[..., t] for c in all_c)))
         return acc
@@ -523,7 +526,7 @@ def _horner(constraints: List[QM31], rc: QM31) -> QM31:
     def body(acc, c_t):
         return q.q_add(q.q_mul(acc, rc), c_t), None
 
-    acc, _ = jax.lax.scan(body, q.q_zero(rc.a), seq)
+    acc, _ = jax.lax.scan(body, zero, seq)
     return acc
 
 

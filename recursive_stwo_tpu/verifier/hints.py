@@ -66,6 +66,14 @@ def hash_node(children, cols: np.ndarray) -> np.ndarray:
 # Commitment-tree path expansion (single-path proofs)
 # ---------------------------------------------------------------------------
 
+
+def _take(it, what: str):
+    """next(it) with witness exhaustion reported as a clean rejection."""
+    try:
+        return next(it)
+    except StopIteration:
+        raise AssertionError(f"{what} witness exhausted (corrupted proof?)")
+
 def expand_single_paths(
     max_log: int,
     raw_queries: List[int],
@@ -103,10 +111,10 @@ def expand_single_paths(
                 continue
             sibling_idx = position ^ 1
             ncols = n_columns_per_log_size.get(max_log - 1 - i, 0)
-            cols = np.array([next(vit) for _ in range(ncols)], np.uint32)
+            cols = np.array([_take(vit, 'value') for _ in range(ncols)], np.uint32)
             column_layer[position >> 1] = cols
             if sibling_idx not in hash_layers[i]:
-                hash_layers[i][sibling_idx] = np.asarray(next(hit), np.uint32)
+                hash_layers[i][sibling_idx] = np.asarray(_take(hit, 'hash'), np.uint32)
             sibling = hash_layers[i][sibling_idx]
             own = hash_layers[i][position]
             pair = (own, sibling) if position & 1 == 0 else (sibling, own)
@@ -185,7 +193,7 @@ def expand_pair_paths(
                     l_idx, r_idx = qq << 1, (qq << 1) + 1
                     for idx in (l_idx, r_idx):
                         if idx not in hash_layers[-1]:
-                            hash_layers[-1][idx] = np.asarray(next(hit), np.uint32)
+                            hash_layers[-1][idx] = np.asarray(_take(hit, 'hash'), np.uint32)
                     layer[qq] = hash_node(
                         (hash_layers[-1][l_idx], hash_layers[-1][r_idx]), val
                     )
@@ -198,7 +206,7 @@ def expand_pair_paths(
                 l_idx, r_idx = qq << 1, (qq << 1) + 1
                 for idx in (l_idx, r_idx):
                     if idx not in hash_layers[-1]:
-                        hash_layers[-1][idx] = np.asarray(next(hit), np.uint32)
+                        hash_layers[-1][idx] = np.asarray(_take(hit, 'hash'), np.uint32)
                 layer[qq] = hash_node(
                     (hash_layers[-1][l_idx], hash_layers[-1][r_idx]), np.array([])
                 )

@@ -10,9 +10,20 @@ the driver uses for multi-chip dry runs.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# keep prove() on its host/numpy path in the suite; the device pipeline is
+# exercised explicitly (tests/test_device_prover.py) on the CPU backend
+os.environ.setdefault("RSTPU_DEVICE_PROVER", "0")
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# persistent compilation cache: the multi-device mesh tests compile the full
+# verifier program several times; cache hits make re-runs minutes faster
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 @pytest.fixture(scope="session")
