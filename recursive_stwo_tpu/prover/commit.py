@@ -67,18 +67,7 @@ class CommittedTree:
             int(k): np.asarray(v, np.uint32) for k, v in columns_by_log.items()
         }
         self.max_log = max(self.columns_by_log)
-        self.levels: List[np.ndarray] = []  # index 0 = leaf level hashes
-
-        from . import device
-
-        if device.enabled() and (1 << self.max_log) >= 1 << 12:
-            self.levels = device.merkle_levels(self.columns_by_log)
-        else:
-            h = _hash_leaf_level(self.columns_by_log[self.max_log])
-            self.levels.append(h)
-            for L in range(self.max_log - 1, -1, -1):
-                h = _hash_node_level(h, self.columns_by_log.get(L))
-                self.levels.append(h)
+        self.levels: List[np.ndarray] = self._build_levels()
         assert self.levels[-1].shape[0] == 1
 
     @property
@@ -99,6 +88,18 @@ class CommittedTree:
         """(n_cols, len(indices)) column openings at the given positions."""
         cols = self.columns_by_log[log_size]
         return np.asarray(cols)[:, np.asarray(indices, np.int64)]
+
+    def _build_levels(self) -> List[np.ndarray]:
+        from . import device
+
+        if device.enabled() and (1 << self.max_log) >= 1 << 12:
+            return device.merkle_levels(self.columns_by_log)
+        levels = [_hash_leaf_level(self.columns_by_log[self.max_log])]
+        h = levels[0]
+        for L in range(self.max_log - 1, -1, -1):
+            h = _hash_node_level(h, self.columns_by_log.get(L))
+            levels.append(h)
+        return levels
 
     def decommit(self, raw_queries: List[int]) -> Tuple[np.ndarray, MerkleDecommitment]:
         """(queried_values stream, decommitment) for the given (unsorted,
@@ -159,3 +160,16 @@ class CommittedTree:
             if values
             else np.zeros(0, np.uint32)
         ), decommitment
+
+
+class Sha256CommittedTree(CommittedTree):
+    """SHA-256 flavor of the commitment tree (framework-defined node rules,
+    verifier/sha256_merkle.py).  Digests are 8 big-endian uint32 words, so
+    the shared-ancestor decommitment machinery above is inherited
+    unchanged; hashing is vectorized numpy SHA-256 (host — per-level
+    elementwise uint32 rounds)."""
+
+    def _build_levels(self) -> List[np.ndarray]:
+        from ..verifier import sha256_merkle
+
+        return sha256_merkle.merkle_levels(self.columns_by_log)

@@ -105,16 +105,29 @@ def _point_sub_step_perm(dom_log: int, step_index: int) -> np.ndarray:
     return perm
 
 
-def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonProof:
+def prove(
+    trace: dict,
+    config: PcsConfig,
+    progress=None,
+    channel=None,
+    tree_cls=None,
+) -> PlonkWithPoseidonProof:
+    """channel/tree_cls select the Merkle-channel flavor (default
+    Poseidon31; pass a Sha256 channel + Sha256CommittedTree for the
+    Sha256Poseidon31 chain level, multi-proofs/src/main.rs:289-295).
+    Non-default flavors run the host flow (FFT/sampling still ride the
+    device via _fft when enabled); the Poseidon default uses the fully
+    device-resident pipeline."""
     import logging
 
-    if device.enabled():
+    if device.enabled() and channel is None and tree_cls is None:
         # device-resident pipeline: tensors stay on the accelerator for the
         # whole proof; bit-exact twin of the numpy flow below
         from .device_prove import prove_device
 
         return prove_device(trace, config, progress)
 
+    Tree = tree_cls or CommittedTree
     plog = progress or logging.getLogger(__name__).debug
     blowup = config.fri_config.log_blowup_factor
 
@@ -140,12 +153,12 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     def lde(rows: np.ndarray, target_log: int) -> np.ndarray:
         return _fft().evaluate_lde(air.to_domain_order(rows), target_log)
 
-    channel = PoseidonChannel()
+    channel = channel or PoseidonChannel()
 
     # ---- tree 0: preprocessed ----
     pre_plonk_lde = lde(plonk_pre, lp + blowup)
     pre_pos_lde = lde(pos_pre, lq + blowup)
-    tree0 = CommittedTree(
+    tree0 = Tree(
         _merge_levels([(lp + blowup, pre_plonk_lde), (lq + blowup, pre_pos_lde)])
     )
     channel.mix_root(tree0.root)
@@ -157,7 +170,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     # ---- tree 1: trace ----
     tr_plonk_lde = lde(plonk_tr, lp + blowup)
     tr_pos_lde = lde(pos_tr, lq + blowup)
-    tree1 = CommittedTree(
+    tree1 = Tree(
         _merge_levels([(lp + blowup, tr_plonk_lde), (lq + blowup, tr_pos_lde)])
     )
     channel.mix_root(tree1.root)
@@ -177,7 +190,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
 
     int_plonk_lde = lde(int_plonk, lp + blowup)
     int_pos_lde = lde(int_pos, lq + blowup)
-    tree2 = CommittedTree(
+    tree2 = Tree(
         _merge_levels([(lp + blowup, int_plonk_lde), (lq + blowup, int_pos_lde)])
     )
     channel.mix_root(tree2.root)
@@ -205,7 +218,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
             _fft().evaluate(circle_fft.extend(right_coeffs, bound - 1 + blowup)),
         ]
     )  # (8, 2^(bound-1+blowup))
-    tree3 = CommittedTree({bound - 1 + blowup: comp_cols_lde})
+    tree3 = Tree({bound - 1 + blowup: comp_cols_lde})
     channel.mix_root(tree3.root)
     plog("tree3 (composition) committed")
 
@@ -261,7 +274,7 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
 
     stark_proof = _fri_tail(
         spec, config, channel, [tree0, tree1, tree2, tree3],
-        group_evals, sampled_values, plog,
+        group_evals, sampled_values, plog, tree_cls=Tree,
     )
     return PlonkWithPoseidonProof(
         log_size_plonk=lp,
@@ -273,13 +286,16 @@ def prove(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPoseidonPro
     )
 
 
-def _fri_tail(spec, config, channel, trees, group_evals, sampled_values, plog):
+def _fri_tail(spec, config, channel, trees, group_evals, sampled_values, plog,
+              tree_cls=None):
     """AIR-agnostic FRI phase: commit first layer + inner folds, last
     poly extraction, PoW grind, query draw, and all decommitments.
-    Shared by the with- and without-poseidon provers."""
+    Shared by the with- and without-poseidon provers (and, via tree_cls,
+    by the SHA-256 Merkle flavors)."""
+    Tree = tree_cls or CommittedTree
     tree0, tree1, tree2, tree3 = trees
     plog("FRI first-layer quotients computed")
-    first_tree = CommittedTree(
+    first_tree = Tree(
         {L: fri._q_limbs(ev) for L, ev in group_evals.items()}
     )
     channel.mix_root(first_tree.root)
@@ -300,7 +316,7 @@ def _fri_tail(spec, config, channel, trees, group_evals, sampled_values, plog):
             g_evals = q.q_add(
                 q.q_mul(QM31(*(np.uint32(x) for x in a2)), g_evals), fold_in
             )
-        tree_i = CommittedTree({level: fri._q_limbs(g_evals)})
+        tree_i = Tree({level: fri._q_limbs(g_evals)})
         inner_trees.append(tree_i)
         inner_evals.append(g_evals)
         channel.mix_root(tree_i.root)

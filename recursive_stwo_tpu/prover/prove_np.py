@@ -124,8 +124,15 @@ def _group_quotients_np(spec, sampled_values, after_coeff4, oods, shifted,
     return out
 
 
-def prove_np(trace: dict, config: PcsConfig, progress=None):
-    """trace: PlonkWithoutPoseidonCS.generate_trace() output."""
+def prove_np(trace: dict, config: PcsConfig, progress=None,
+             channel=None, tree_cls=None):
+    """trace: PlonkWithoutPoseidonCS.generate_trace() output.
+
+    channel/tree_cls select the Merkle-channel flavor: default Poseidon31;
+    pass (prove_sha256.Sha256ProverChannel(), commit.Sha256CommittedTree)
+    for the Sha256MerkleChannel output proof (the reference's
+    bitcoin_proof.bin step, examples/last-layer/src/main.rs:194-202)."""
+    Tree = tree_cls or CommittedTree
     def plog(msg):
         if progress:
             progress(msg)
@@ -140,17 +147,17 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
     def lde(rows, target_log):
         return _fft().evaluate_lde(air.to_domain_order(rows), target_log)
 
-    channel = PoseidonChannel()
+    channel = channel or PoseidonChannel()
 
     pre_lde = lde(pre, L + blowup)
-    tree0 = CommittedTree({L + blowup: pre_lde})
+    tree0 = Tree({L + blowup: pre_lde})
     channel.mix_root(tree0.root)
     plog("tree0 (preprocessed) committed")
 
     channel.mix_one_felt([L, 0, 0, 0])
 
     tr_lde = lde(tr, L + blowup)
-    tree1 = CommittedTree({L + blowup: tr_lde})
+    tree1 = Tree({L + blowup: tr_lde})
     channel.mix_root(tree1.root)
     plog("tree1 (trace) committed")
 
@@ -160,7 +167,7 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
     channel.mix_one_felt(total)
 
     int_lde = lde(inter, L + blowup)
-    tree2 = CommittedTree({L + blowup: int_lde})
+    tree2 = Tree({L + blowup: int_lde})
     channel.mix_root(tree2.root)
     plog("tree2 (interaction) committed")
 
@@ -181,7 +188,7 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
             _fft().evaluate(circle_fft.extend(right_coeffs, bound - 1 + blowup)),
         ]
     )
-    tree3 = CommittedTree({bound - 1 + blowup: comp_cols_lde})
+    tree3 = Tree({bound - 1 + blowup: comp_cols_lde})
     channel.mix_root(tree3.root)
     plog("tree3 (composition) committed")
 
@@ -229,7 +236,7 @@ def prove_np(trace: dict, config: PcsConfig, progress=None):
 
     stark_proof = _fri_tail(
         spec, config, channel, [tree0, tree1, tree2, tree3],
-        group_evals, sampled_values, plog,
+        group_evals, sampled_values, plog, tree_cls=Tree,
     )
     return PlonkWithoutPoseidonProof(
         log_size=L,

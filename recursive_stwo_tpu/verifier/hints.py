@@ -81,10 +81,14 @@ def expand_single_paths(
     n_columns_per_log_size: Dict[int, int],
     decommitment: MerkleDecommitment,
     root: np.ndarray,
+    hash_node_fn=None,
 ):
     """Per-query standalone paths from a shared stwo decommitment.
 
-    Returns (sibling_hashes (Q, max_log, 8), columns {log->(Q, n)})."""
+    Returns (sibling_hashes (Q, max_log, 8), columns {log->(Q, n)}).
+    hash_node_fn overrides the Poseidon31 node hash (e.g. the SHA-256
+    flavor, verifier/sha256_merkle.py)."""
+    hash_node_ = hash_node_fn or hash_node
     queries = sorted(set(raw_queries))
     vit = iter(values)
     n_top = n_columns_per_log_size[max_log]
@@ -97,7 +101,7 @@ def expand_single_paths(
     hit = iter(decommitment.hash_witness)
 
     hash_layers: List[Dict[int, np.ndarray]] = [
-        {qq: hash_node(None, queries_values[qq]) for qq in queries}
+        {qq: hash_node_(None, queries_values[qq]) for qq in queries}
     ]
     column_layers: List[Dict[int, np.ndarray]] = []
     positions = sorted(queries)
@@ -118,7 +122,7 @@ def expand_single_paths(
             sibling = hash_layers[i][sibling_idx]
             own = hash_layers[i][position]
             pair = (own, sibling) if position & 1 == 0 else (sibling, own)
-            layer[position >> 1] = hash_node(pair, cols)
+            layer[position >> 1] = hash_node_(pair, cols)
             parents.append(position >> 1)
         column_layers.append(column_layer)
         hash_layers.append(layer)
@@ -163,10 +167,12 @@ def expand_pair_paths(
     leaf_queries: List[int],
     values: np.ndarray,
     decommitment: MerkleDecommitment,
+    hash_node_fn=None,
 ):
     """Per-query pair paths (self+sibling QM31 per data level, shared sibling
     hashes).  Returns (sibling_hashes (Q, depth-1, 8),
     self_cols {log->(Q,4)}, sib_cols {log->(Q,4)})."""
+    hash_node_ = hash_node_fn or hash_node
     max_log = max(log_sizes_with_data)
     data_set = set(log_sizes_with_data)
     assert len(decommitment.column_witness) == 0
@@ -188,13 +194,13 @@ def expand_pair_paths(
             layer: Dict[int, np.ndarray] = {}
             for qq, val in qv.items():
                 if current == max_log:
-                    layer[qq] = hash_node(None, val)
+                    layer[qq] = hash_node_(None, val)
                 else:
                     l_idx, r_idx = qq << 1, (qq << 1) + 1
                     for idx in (l_idx, r_idx):
                         if idx not in hash_layers[-1]:
                             hash_layers[-1][idx] = np.asarray(_take(hit, 'hash'), np.uint32)
-                    layer[qq] = hash_node(
+                    layer[qq] = hash_node_(
                         (hash_layers[-1][l_idx], hash_layers[-1][r_idx]), val
                     )
             queries_values_map[current] = qv
@@ -207,7 +213,7 @@ def expand_pair_paths(
                 for idx in (l_idx, r_idx):
                     if idx not in hash_layers[-1]:
                         hash_layers[-1][idx] = np.asarray(_take(hit, 'hash'), np.uint32)
-                layer[qq] = hash_node(
+                layer[qq] = hash_node_(
                     (hash_layers[-1][l_idx], hash_layers[-1][r_idx]), np.array([])
                 )
             hash_layers.append(layer)
@@ -233,7 +239,7 @@ def expand_pair_paths(
                 if current != max_log:
                     sl, sr = (query ^ 1) << 1, ((query ^ 1) << 1) + 1
                     hl = hash_layers[max_log - current - 1]
-                    sib[qi, si] = hash_node((hl[sl], hl[sr]), np.array([]))
+                    sib[qi, si] = hash_node_((hl[sl], hl[sr]), np.array([]))
                     si += 1
             else:
                 sib[qi, si] = hash_layers[max_log - current][query ^ 1]
@@ -366,12 +372,14 @@ def prepare(
     proofs: List[PlonkWithPoseidonProof],
     arrays_fn=from_proofs,
     transcript_fn=None,
+    hash_node_fn=None,
 ) -> ProofArrays:
     """Parse -> transcript replay -> path expansion -> batched tensors.
 
     arrays_fn/transcript_fn default to the with-poseidon flavor; pass
     (arrays.from_proofs_np, transcript.run_transcript_np) for
-    PlonkWithoutPoseidon proofs — everything below is spec-generic."""
+    PlonkWithoutPoseidon proofs — everything below is spec-generic.
+    hash_node_fn overrides the Merkle node hash (SHA-256 flavors)."""
     pa = arrays_fn(spec, proofs)
     fs = (transcript_fn or transcript.run_transcript)(spec, pa)
     B = len(proofs)
@@ -395,6 +403,7 @@ def prepare(
                     spec.n_columns_per_log_size[t],
                     proof.stark_proof.decommitments[t],
                     proof.stark_proof.commitments[t],
+                    hash_node_fn=hash_node_fn,
                 )
             )
         tree_paths.append(_stack_tree_paths(per_proof))
@@ -446,6 +455,7 @@ def prepare(
                 raw_all,
                 np.array(stream, np.uint32),
                 proof.stark_proof.fri_proof.first_layer.decommitment,
+                hash_node_fn=hash_node_fn,
             )
         )
     first_layer_paths = _stack_pair_paths(fl_per_proof)
@@ -507,6 +517,7 @@ def prepare(
                     [qq >> (M - log_size) for qq in raw_all],
                     np.array(stream, np.uint32),
                     layer.decommitment,
+                    hash_node_fn=hash_node_fn,
                 )
             )
             folded = new_folded
