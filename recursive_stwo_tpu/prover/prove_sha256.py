@@ -64,8 +64,13 @@ class Sha256ProverChannel:
         the digest (LE interpretation, Sha256Channel.trailing_zeros).
 
         Vectorized: one mix_u64 = sha256 of a 64-byte message
-        (le8(nonce) + 24 zero bytes || digest) = 2 compressions."""
+        (le8(nonce) + 24 zero bytes || digest) = 2 compressions.
+        Native AVX-512 16-way scan when available (~50M nonces/s)."""
         digest_words = np.frombuffer(self.ch.digest, ">u4").astype(np.uint32)
+        from ..utils import native
+
+        if native.sha_available():
+            return native.sha256_grind(digest_words, pow_bits)
         mask = np.uint32((1 << pow_bits) - 1)
         pad = np.zeros((batch, 16), np.uint32)
         pad[:, 0] = 0x80000000

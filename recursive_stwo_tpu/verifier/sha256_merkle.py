@@ -41,8 +41,17 @@ def hash_node(children, cols: np.ndarray) -> np.ndarray:
     return sha256_words(words[None, :])[0]
 
 
+def _native():
+    from ..utils import native
+
+    return native if native.sha_available() else None
+
+
 def hash_leaf_level(columns: np.ndarray) -> np.ndarray:
     """(n_cols, N) -> (N, 8) leaf digests, vectorized over N."""
+    nat = _native()
+    if nat is not None and columns.shape[1] >= 64:
+        return nat.sha256_leaf_level(columns)
     return sha256_words(np.ascontiguousarray(columns.T))
 
 
@@ -50,6 +59,9 @@ def hash_node_level(
     children: np.ndarray, columns: np.ndarray | None
 ) -> np.ndarray:
     """children (2N, 8) -> (N, 8); columns (n_cols, N) absorbed if given."""
+    nat = _native()
+    if nat is not None and children.shape[0] >= 128:
+        return nat.sha256_node_level(children, columns)
     N = children.shape[0] // 2
     pairs = children.reshape(N, 16)
     if columns is not None and columns.shape[0]:
