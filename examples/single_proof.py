@@ -33,6 +33,16 @@ INPUTS3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
 
 
 def main():
+    # skip-if-exists memoization, like the reference
+    # (single-proof/src/main.rs:100-108)
+    existing = [
+        f for f in os.listdir(TESTDATA)
+        if f.startswith("recursive_proof_") and f.endswith(".bin.pkl")
+    ]
+    if existing:
+        print(f"{existing[0]} exists, skipping (delete it to regenerate)")
+        return
+
     with open(os.path.join(TESTDATA, "small_proof.bin"), "rb") as f:
         proof = parse_plonk_with_poseidon_proof(f.read())
 

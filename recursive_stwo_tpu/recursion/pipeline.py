@@ -113,10 +113,18 @@ def build_last_circuit(
     inner_inputs: List[Tuple[int, tuple]],
     finalize: bool = True,
     cross_check: bool = True,
+    transcript_fn=None,
+    hash_node_fn=None,
 ):
     """Verify `proof` inside a PlonkWithoutPoseidon circuit with all
     Fiat-Shamir/decommitment data as packed public inputs (the last-layer
     flow, examples/last-layer/src/main.rs:30-95).
+
+    transcript_fn/hash_node_fn select the input proof's channel flavor:
+    default Poseidon31; pass (verify_sha256.run_transcript_sha256p31 as a
+    (spec, pa)->FSOutput closure, sha256_merkle.hash_node) when `proof` is
+    a Sha256Poseidon31-flavor proof — the reference's actual input kind
+    (components/last/fiat_shamir/src/lib.rs:36-79).
 
     Returns (cs, results).  The public-input vector follows the reference
     assembly order (main.rs:113-186): 1, i, j are pinned; then t,
@@ -127,8 +135,12 @@ def build_last_circuit(
     from . import last as last_mod
 
     spec = VerifierSpec.from_proof(proof)
-    pa = hints_mod.prepare(spec, [proof])
-    fs = transcript.run_transcript(spec, pa)
+    if transcript_fn is None:
+        transcript_fn = lambda s, pa_: transcript.run_transcript(s, pa_)  # noqa: E731
+    pa = hints_mod.prepare(
+        spec, [proof], transcript_fn=transcript_fn, hash_node_fn=hash_node_fn
+    )
+    fs = transcript_fn(spec, pa)
     native_answers = (
         hints_mod.host_fri_answers(spec, fs, pa, pa.tree_paths)
         if cross_check

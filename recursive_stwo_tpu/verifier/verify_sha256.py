@@ -173,3 +173,145 @@ def verify_sha256p31_host(
         ok = v if ok is None else (ok & v)
     checks["ok"] = ok
     return checks
+
+
+# ---------------------------------------------------------------------------
+# PlonkWithoutPoseidon flavor (the Sha256MerkleChannel output proof — the
+# reference's bitcoin_proof.bin step, examples/last-layer/src/main.rs:194-202)
+# ---------------------------------------------------------------------------
+
+
+def run_transcript_sha256np(spec, proof) -> FSOutput:
+    """Replay prove_np's channel interactions over the SHA-256 channel."""
+    from ..prover.prove_sha256 import Sha256ProverChannel
+
+    ch = Sha256ProverChannel()
+    sp = proof.stark_proof
+
+    ch.mix_root(sp.commitments[0])
+    ch.mix_one_felt([spec.log_size, 0, 0, 0])
+    ch.mix_root(sp.commitments[1])
+    z4, alpha4 = ch.draw_felts()
+    ch.mix_one_felt(proof.total_sum)
+    ch.mix_root(sp.commitments[2])
+    rc4 = ch.draw_felt()
+    ch.mix_root(sp.commitments[3])
+    oods_t4 = ch.draw_felt()
+
+    flat = [s for tree in sp.sampled_values for col in tree for s in col]
+    for k in range(0, len(flat), 2):
+        chunk = flat[k : k + 2]
+        if len(chunk) == 1:
+            ch.mix_one_felt(chunk[0])
+        else:
+            ch.mix_two_felts(chunk[0], chunk[1])
+    after4 = ch.draw_felt()
+
+    alphas = []
+    ch.mix_root(sp.fri_proof.first_layer.commitment)
+    alphas.append(ch.draw_felt())
+    for layer in sp.fri_proof.inner_layers:
+        ch.mix_root(layer.commitment)
+        alphas.append(ch.draw_felt())
+
+    last_poly = sp.fri_proof.last_layer_poly
+    for k in range(0, len(last_poly), 2):
+        chunk = last_poly[k : k + 2]
+        if len(chunk) == 1:
+            ch.mix_one_felt(chunk[0])
+        else:
+            ch.mix_two_felts(chunk[0], chunk[1])
+
+    ch.mix_u64(sp.proof_of_work)
+    pow_digest0 = np.array(
+        [int.from_bytes(ch.ch.digest[:4], "little")], np.uint32
+    )
+
+    raw = []
+    while len(raw) < spec.n_queries:
+        a, b = ch.draw_felts()
+        raw.extend(int(x) for x in a)
+        raw.extend(int(x) for x in b)
+    raw_queries = np.array([raw[: spec.n_queries]], np.uint32)
+
+    return FSOutput(
+        z=_q1(z4),
+        alpha=_q1(alpha4),
+        random_coeff=_q1(rc4),
+        oods_t=_q1(oods_t4),
+        after_sampled_values_random_coeff=_q1(after4),
+        fri_alphas=tuple(_q1(a) for a in alphas),
+        raw_queries=raw_queries,
+        pow_digest0=pow_digest0,
+    )
+
+
+def verify_sha256np_host(
+    proof,
+    inputs: Sequence[Tuple[int, Tuple[int, int, int, int]]] = (),
+):
+    """Full host verification of one Sha256MerkleChannel-flavor
+    PlonkWithoutPoseidon proof (native mirror of the reference's
+    verify_plonk_without_poseidon::<Sha256MerkleChannel>)."""
+    from .arrays import from_proofs_np
+    from .spec import NoPoseidonVerifierSpec
+
+    spec = NoPoseidonVerifierSpec.for_rows(proof.log_size, proof.config)
+    spec.validate(proof)
+    fs = run_transcript_sha256np(spec, proof)
+
+    try:
+        hints_mod.prepare(
+            spec,
+            [proof],
+            arrays_fn=from_proofs_np,
+            transcript_fn=lambda s, p: fs,
+            hash_node_fn=sha256_merkle.hash_node,
+        )
+        structural_ok = True
+    except AssertionError:
+        structural_ok = False
+
+    checks = {}
+    checks["pow"] = (
+        fs.pow_digest0 & np.uint32((1 << spec.pow_bits) - 1)
+    ) == 0
+
+    like = fs.z.a
+    input_sum = q.q_zero(like)
+    for idx, val in inputs:
+        term = q.q_sub(
+            q.q_add(_q_const(val, like), q.q_mul_m31(fs.alpha, np.uint32(idx))),
+            fs.z,
+        )
+        input_sum = q.q_add(input_sum, q.q_inv(term))
+    total = q.q_add(input_sum, _q1(proof.total_sum))
+    checks["total_sum"] = (
+        (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
+    )
+
+    samples_flat = np.array(
+        [
+            [tuple(int(x) for x in s) for tree in proof.stark_proof.sampled_values
+             for col in tree for s in col]
+        ],
+        np.uint32,
+    )
+    oods = points.oods_point_from_t(fs.oods_t)
+    checks["composition"] = composition_mod.composition_check_np(
+        spec,
+        samples_flat,
+        _q1(proof.total_sum),
+        (fs.z, fs.alpha),
+        fs.random_coeff,
+        oods,
+    )
+
+    checks["merkle_fri"] = np.array([structural_ok])
+
+    ok = None
+    for v in checks.values():
+        v = np.asarray(v).reshape(1)
+        ok = v if ok is None else (ok & v)
+    checks["ok"] = ok
+    return checks

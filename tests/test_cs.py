@@ -245,3 +245,32 @@ def test_logup_multiplicities_balance():
     seen = np.zeros(n_vars, dtype=bool)
     seen[np.concatenate([aw, bw, cw])] = True
     assert (totals[seen] == expect[seen]).all()
+
+
+def test_emulated_poseidon_kat_in_circuit():
+    """Full emulated permutation on PlonkWithoutPoseidonCS matches the
+    scalar KAT vector (reference emulated.rs:246-266: the SIMD-gate
+    permutation of 0..16 equals the native Poseidon2 permutation)."""
+    from recursive_stwo_tpu.gadgets.poseidon import permute_emulated
+
+    from recursive_stwo_tpu.gadgets.fields import QM31Var as QV
+    from recursive_stwo_tpu.gadgets.poseidon import Poseidon2HalfEmulated
+
+    cs = PlonkWithoutPoseidonCS()
+    left = Poseidon2HalfEmulated(
+        QV.new_witness(cs, (0, 1, 2, 3)), QV.new_witness(cs, (4, 5, 6, 7))
+    )
+    right = Poseidon2HalfEmulated(
+        QV.new_witness(cs, (8, 9, 10, 11)),
+        QV.new_witness(cs, (12, 13, 14, 15)),
+    )
+    out_l, out_r = permute_emulated(left, right)
+
+    expected = poseidon2.permute(np.arange(16, dtype=np.uint32))
+    got = list(out_l.value) + list(out_r.value)
+    assert got == [int(x) for x in expected]
+
+    cs.pad()
+    cs.check_arithmetics()
+    cs.populate_logup_arguments()
+    cs.generate_trace()
