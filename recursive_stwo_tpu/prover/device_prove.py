@@ -351,6 +351,42 @@ def _interaction_traced(pre, tr, z4, alpha4, evaluate_fn):
 
 
 @lru_cache(maxsize=None)
+@lru_cache(maxsize=None)
+def _table_lde_jit(log: int, blowup: int):
+    """Per-table (interpolate -> LDE) jit — used instead of the fused
+    stage jits when the LDE domain is large enough that holding every
+    table's intermediates in one XLA program exceeds HBM
+    (fast_verifier configs: blowup 7-9 -> 2^23-2^24 domains)."""
+    import jax
+
+    perm = air.coset_to_domain_perm(log)
+
+    @jax.jit
+    def run(rows):
+        c = circle_fft.interpolate_traced(rows[..., perm])
+        return c, _lde_t(c, log + blowup)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _interaction_cols_jit(lp: int, lq: int):
+    """Interaction columns + total sums only (base domains — small)."""
+    import jax
+
+    @jax.jit
+    def run(plonk_pre, plonk_tr, pos_pre, pos_tr, z4, alpha4):
+        int_p, tot_p = _interaction_traced(
+            plonk_pre, plonk_tr, z4, alpha4, vcomp.evaluate_plonk
+        )
+        int_q, tot_q = _interaction_traced(
+            pos_pre, pos_tr, z4, alpha4, vcomp.evaluate_poseidon
+        )
+        return int_p, int_q, tot_p, tot_q
+
+    return run
+
+
 def _stage_interaction_jit(lp: int, lq: int, blowup: int):
     import jax
 
@@ -573,18 +609,43 @@ def prove_device(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPose
     d_pos_pre = jnp.asarray(pos_pre)
     d_pos_tr = jnp.asarray(pos_tr)
 
+    # Large LDE domains (fast_verifier blowups): one fused XLA program per
+    # stage holds every table's FFT intermediates + LDEs + tree levels live
+    # at once and exceeds HBM (observed: 24G needed at 2^23 vs 15.75G).
+    # Split into per-table / per-tree programs so buffers free between
+    # calls; steady-state live set is just LDEs + levels (~7G at 2^23).
+    big = max(lp, lq, bound - 1) + blowup >= int(
+        __import__("os").environ.get("RSTPU_DEVICE_BIG_LOG", "23")
+    )
+
     # ---- trees 0 + 1 (no channel draw between them) ----
-    coeffs, ldes, t0_levels, t1_levels = _stage_trees01_jit(lp, lq, blowup)(
-        d_plonk_pre, d_plonk_tr, d_pos_pre, d_pos_tr
-    )
-    tree0 = DeviceTree(
-        _merge_t([(lp + blowup, ldes["p_pre"]), (lq + blowup, ldes["q_pre"])]),
-        levels=t0_levels,
-    )
-    tree1 = DeviceTree(
-        _merge_t([(lp + blowup, ldes["p_tr"]), (lq + blowup, ldes["q_tr"])]),
-        levels=t1_levels,
-    )
+    if big:
+        coeffs, ldes = {}, {}
+        for key, rows, log in (
+            ("p_pre", d_plonk_pre, lp),
+            ("p_tr", d_plonk_tr, lp),
+            ("q_pre", d_pos_pre, lq),
+            ("q_tr", d_pos_tr, lq),
+        ):
+            coeffs[key], ldes[key] = _table_lde_jit(log, blowup)(rows)
+        tree0 = DeviceTree(
+            _merge_t([(lp + blowup, ldes["p_pre"]), (lq + blowup, ldes["q_pre"])])
+        )
+        tree1 = DeviceTree(
+            _merge_t([(lp + blowup, ldes["p_tr"]), (lq + blowup, ldes["q_tr"])])
+        )
+    else:
+        coeffs, ldes, t0_levels, t1_levels = _stage_trees01_jit(lp, lq, blowup)(
+            d_plonk_pre, d_plonk_tr, d_pos_pre, d_pos_tr
+        )
+        tree0 = DeviceTree(
+            _merge_t([(lp + blowup, ldes["p_pre"]), (lq + blowup, ldes["q_pre"])]),
+            levels=t0_levels,
+        )
+        tree1 = DeviceTree(
+            _merge_t([(lp + blowup, ldes["p_tr"]), (lq + blowup, ldes["q_tr"])]),
+            levels=t1_levels,
+        )
     channel.mix_root(tree0.root)
     plog("tree0 (preprocessed) committed")
     channel.mix_one_felt([lp, 0, 0, 0])
@@ -595,20 +656,35 @@ def prove_device(trace: dict, config: PcsConfig, progress=None) -> PlonkWithPose
     z4, alpha4 = channel.draw_felts()
 
     # ---- interaction columns + tree 2 ----
-    (int_p, int_q), (c_int_p, c_int_q), (lde_int_p, lde_int_q), t2_levels, tot_p, tot_q = (
-        _stage_interaction_jit(lp, lq, blowup)(
+    if big:
+        int_p, int_q, tot_p, tot_q = _interaction_cols_jit(lp, lq)(
             d_plonk_pre, d_plonk_tr, d_pos_pre, d_pos_tr,
             jnp.asarray(z4), jnp.asarray(alpha4),
         )
-    )
-    plonk_total = np.asarray(tot_p, np.uint32)
-    pos_total = np.asarray(tot_q, np.uint32)
-    plog("interaction columns generated")
-    channel.mix_two_felts(plonk_total, pos_total)
-    tree2 = DeviceTree(
-        _merge_t([(lp + blowup, lde_int_p), (lq + blowup, lde_int_q)]),
-        levels=t2_levels,
-    )
+        c_int_p, lde_int_p = _table_lde_jit(lp, blowup)(int_p)
+        c_int_q, lde_int_q = _table_lde_jit(lq, blowup)(int_q)
+        plonk_total = np.asarray(tot_p, np.uint32)
+        pos_total = np.asarray(tot_q, np.uint32)
+        plog("interaction columns generated")
+        channel.mix_two_felts(plonk_total, pos_total)
+        tree2 = DeviceTree(
+            _merge_t([(lp + blowup, lde_int_p), (lq + blowup, lde_int_q)])
+        )
+    else:
+        (int_p, int_q), (c_int_p, c_int_q), (lde_int_p, lde_int_q), t2_levels, tot_p, tot_q = (
+            _stage_interaction_jit(lp, lq, blowup)(
+                d_plonk_pre, d_plonk_tr, d_pos_pre, d_pos_tr,
+                jnp.asarray(z4), jnp.asarray(alpha4),
+            )
+        )
+        plonk_total = np.asarray(tot_p, np.uint32)
+        pos_total = np.asarray(tot_q, np.uint32)
+        plog("interaction columns generated")
+        channel.mix_two_felts(plonk_total, pos_total)
+        tree2 = DeviceTree(
+            _merge_t([(lp + blowup, lde_int_p), (lq + blowup, lde_int_q)]),
+            levels=t2_levels,
+        )
     channel.mix_root(tree2.root)
     plog("tree2 (interaction) committed")
 

@@ -119,13 +119,30 @@ def prove(
     device via _fft when enabled); the Poseidon default uses the fully
     device-resident pipeline."""
     import logging
+    import os
 
     if device.enabled() and channel is None and tree_cls is None:
         # device-resident pipeline: tensors stay on the accelerator for the
-        # whole proof; bit-exact twin of the numpy flow below
+        # whole proof; bit-exact twin of the numpy flow below.  At very
+        # large LDE domains (fast_verifier blowups 8-9 -> 2^25-2^26) even
+        # the stage-split device pipeline cannot hold all LDEs + tree
+        # levels in 16G HBM, so those shapes run this host flow (device
+        # FFT + device tree hashing, host tensor storage in 125G RAM).
+        from ..verifier.spec import PLONK_LOG_EXPAND, POSEIDON_LOG_EXPAND
         from .device_prove import prove_device
 
-        return prove_device(trace, config, progress)
+        probe_p, _ = air.plonk_columns(trace)
+        _, _, probe_lq = air.poseidon_columns(trace)
+        probe_lp = probe_p.shape[1].bit_length() - 1
+        probe_bound = max(
+            probe_lp + PLONK_LOG_EXPAND, probe_lq + POSEIDON_LOG_EXPAND
+        )
+        max_domain = (
+            max(probe_lp, probe_lq, probe_bound - 1)
+            + config.fri_config.log_blowup_factor
+        )
+        if max_domain < int(os.environ.get("RSTPU_DEVICE_HUGE_LOG", "25")):
+            return prove_device(trace, config, progress)
 
     Tree = tree_cls or CommittedTree
     plog = progress or logging.getLogger(__name__).debug

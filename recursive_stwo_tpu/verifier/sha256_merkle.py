@@ -33,11 +33,15 @@ def hash_node(children, cols: np.ndarray) -> np.ndarray:
     """Scalar node hash; signature-compatible with hints.hash_node."""
     cols = np.asarray(cols, np.uint32).reshape(-1)
     if children is None:
-        return sha256_words(cols[None, :])[0]
-    left, right = children
-    words = np.concatenate(
-        [np.asarray(left, np.uint32), np.asarray(right, np.uint32), cols]
-    )
+        words = cols
+    else:
+        left, right = children
+        words = np.concatenate(
+            [np.asarray(left, np.uint32), np.asarray(right, np.uint32), cols]
+        )
+    nat = _native()
+    if nat is not None:
+        return nat.sha256_words_batch(words[None, :])[0]
     return sha256_words(words[None, :])[0]
 
 
