@@ -121,3 +121,44 @@ def test_sha256p31_rejects_corruption():
     checks2 = verify_sha256p31_host(bad2, INPUTS3)
     assert not bool(np.asarray(checks2["pow"])[0])
     assert not bool(np.asarray(checks2["ok"])[0])
+
+
+def test_sha256_last_layer_flow_miniature():
+    """Full last-layer SHA-256 flow in miniature: sha256p31 input proof ->
+    native verify -> last circuit (packed public inputs from the SHA-256
+    transcript) -> prove under Sha256MerkleChannel flavor -> native verify
+    (examples/last_layer.py is the full-size version; reference flow
+    examples/last-layer/src/main.rs:30-202)."""
+    from recursive_stwo_tpu.prover.commit import Sha256CommittedTree
+    from recursive_stwo_tpu.prover.prove_np import prove_np
+    from recursive_stwo_tpu.recursion.pipeline import build_last_circuit
+    from recursive_stwo_tpu.verifier.verify_sha256 import (
+        run_transcript_sha256p31,
+        verify_sha256np_host,
+    )
+
+    cs_in = _pow_circuit()
+    in_config = PcsConfig(pow_bits=5, fri_config=FriConfig(1, 2, 8))
+    proof = prove_sha256p31(cs_in.generate_trace(), in_config)
+    checks = verify_sha256p31_host(proof, INPUTS3)
+    assert bool(np.asarray(checks["ok"])[0]), checks
+
+    cs, _ = build_last_circuit(
+        proof,
+        list(INPUTS3),
+        transcript_fn=lambda s, pa: run_transcript_sha256p31(s, proof),
+        hash_node_fn=sha256_merkle.hash_node,
+    )
+    out_config = PcsConfig(pow_bits=5, fri_config=FriConfig(1, 2, 8))
+    out = prove_np(
+        cs.generate_trace(), out_config,
+        channel=Sha256ProverChannel(), tree_cls=Sha256CommittedTree,
+    )
+    inputs = tuple(
+        (i + 1, tuple(int(x) for x in cs.value(i + 1)))
+        for i in range(cs.num_input)
+    )
+    out_checks = verify_sha256np_host(out, inputs)
+    failing = [k for k, v in out_checks.items()
+               if not bool(np.asarray(v)[0])]
+    assert not failing, failing
