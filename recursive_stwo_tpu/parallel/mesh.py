@@ -118,3 +118,54 @@ def verify_shard_map(
     )
     ok, total_bad = jax.jit(fn)(pa)
     return ok, total_bad == 0
+
+
+def make_mesh_2d(devices=None, shape=None, axes=("host", "chip")) -> Mesh:
+    """Hierarchical hosts x chips mesh: outer axis rides DCN, inner axis
+    ICI.  On real multi-host pods, `jax.distributed.initialize()` +
+    jax.devices() yields the global device list and this reshape puts each
+    host's local chips contiguous on the inner axis (JAX device order is
+    host-major), so the inner psum stays on ICI."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (2, n // 2)
+    assert shape[0] * shape[1] == n
+    return Mesh(np.array(devices).reshape(shape), axes)
+
+
+def verify_shard_map_2d(
+    spec: VerifierSpec,
+    pa: ProofArrays,
+    inputs=verify_mod.INPUTS_ONE,
+    mesh: Mesh = None,
+):
+    """verify_shard_map over a (host, chip) mesh with a two-stage verdict
+    reduction: failures psum over 'chip' (intra-host, ICI) first, then
+    over 'host' (DCN) — the wire pattern of a real multi-host deployment,
+    where only one scalar per host crosses DCN.
+
+    Returns (ok (B,), per_host_bad (n_hosts,), all_ok ())."""
+    from jax import shard_map
+
+    mesh = mesh or make_mesh_2d()
+    host_ax, chip_ax = mesh.axis_names
+    pa = jax.tree.map(jnp.asarray, pa)
+
+    def local(arrs):
+        checks = verify_mod.verify_batch(spec, arrs, inputs)
+        ok = checks["ok"]
+        n_bad = jnp.sum(~ok).astype(jnp.uint32)
+        bad_ici = jax.lax.psum(n_bad, chip_ax)        # intra-host (ICI)
+        bad_global = jax.lax.psum(bad_ici, host_ax)   # cross-host (DCN)
+        return ok, bad_ici[None], bad_global
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P((host_ax, chip_ax)),
+        out_specs=(P((host_ax, chip_ax)), P(host_ax), P()),
+        check_vma=False,
+    )
+    ok, per_host_bad, total_bad = jax.jit(fn)(pa)
+    return ok, per_host_bad, total_bad == 0

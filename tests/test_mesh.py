@@ -103,3 +103,32 @@ def test_uneven_batch_pads_to_mesh(cpu_mesh, batch16):
     )
     assert not bool(all_ok)
     assert not np.asarray(ok)[10] and np.asarray(ok)[:10].all()
+
+
+def test_two_level_host_chip_mesh(batch16):
+    """(host, chip) = (2, 4) mesh: two-stage verdict reduction (psum over
+    the ICI axis, then the DCN axis); a corrupted proof on host 1 shows up
+    in that host's partial count, not host 0's, and flips the global
+    verdict only — the multi-host wire pattern (SURVEY §2 parallelism 3-4,
+    §5 distributed backend)."""
+    spec, pa = batch16
+    devs = jax.devices("cpu")[:8]
+    mesh2 = mesh_mod.make_mesh_2d(devs, (2, 4))
+
+    ok, per_host_bad, all_ok = mesh_mod.verify_shard_map_2d(spec, pa, mesh=mesh2)
+    assert np.asarray(ok).all() and bool(all_ok)
+    assert np.asarray(per_host_bad).tolist() == [0, 0]
+
+    # corrupt proof 12 -> lands on host 1 (batch 16 over 8 shards of 2)
+    bad = jax.tree.map(lambda x: np.array(x), pa)
+    bad = bad._replace(
+        samples_flat=bad.samples_flat.copy()
+    )
+    bad.samples_flat[12, 0, 0] ^= 1
+    ok2, per_host_bad2, all_ok2 = mesh_mod.verify_shard_map_2d(
+        spec, bad, mesh=mesh2
+    )
+    ok2 = np.asarray(ok2)
+    assert not ok2[12] and ok2[np.arange(16) != 12].all()
+    assert np.asarray(per_host_bad2).tolist() == [0, 1]
+    assert not bool(all_ok2)
