@@ -203,6 +203,19 @@ def apoints_at_indices(indices):
     import numpy as np
 
     idx = np.asarray(indices, dtype=np.uint64)
+    if idx.size >= 1 << 16:
+        from ..utils import native
+
+        if native.fft_available():
+            gx = np.array(
+                [_gen_power_of_two(k)[0] for k in range(M31_CIRCLE_LOG_ORDER)],
+                np.uint32,
+            )
+            gy = np.array(
+                [_gen_power_of_two(k)[1] for k in range(M31_CIRCLE_LOG_ORDER)],
+                np.uint32,
+            )
+            return native.points_at_indices(idx, gx, gy)
     x = np.full(idx.shape, np.uint32(1))
     y = np.zeros(idx.shape, np.uint32)
     for k in range(M31_CIRCLE_LOG_ORDER):

@@ -72,6 +72,12 @@ def _inv_twiddles(log_size: int):
     return [m31.inv(t) for t in _twiddles(log_size)]
 
 
+def _native_fft():
+    from ..utils import native
+
+    return native if native.fft_available() else None
+
+
 def interpolate(values):
     """Evaluations (..., 2^n) in bit-reversed domain order -> coefficients
     (..., 2^n) in the stwo FFT basis (natural index order)."""
@@ -80,6 +86,11 @@ def interpolate(values):
     log_size = n.bit_length() - 1
     assert 1 << log_size == n
     itw = _inv_twiddles(log_size)
+    nat = _native_fft()
+    if nat is not None and values.size >= 1 << 18:
+        return nat.m31_fft_interpolate(
+            values, itw, int(m31.inv(np.uint32(1 << log_size)))
+        )
 
     v = values
     for layer in range(log_size):
@@ -105,6 +116,9 @@ def evaluate(coeffs):
     log_size = n.bit_length() - 1
     assert 1 << log_size == n
     tw = _twiddles(log_size)
+    nat = _native_fft()
+    if nat is not None and coeffs.size >= 1 << 18:
+        return nat.m31_fft_evaluate(coeffs, tw)
 
     v = coeffs
     for layer in reversed(range(log_size)):

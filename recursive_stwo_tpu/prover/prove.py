@@ -85,9 +85,39 @@ def _sample_at(coeffs: np.ndarray, log_size: int, p4) -> np.ndarray:
     return _sample_columns_host(coeffs, _basis_at_point(log_size, p4))
 
 
+class _FFTRouter:
+    """Per-call circle-FFT backend choice: device for shapes the remote
+    TPU compiles and fits, host numpy above a size cap.  The axon AOT
+    compiler materializes far more live buffers than the steady-state
+    need for very large single-FFT programs (observed: 24G requested for
+    a (4, 2^25) evaluate, chain level 8), so huge calls run on the host
+    (125G RAM) instead.  Cap in total elements, env
+    RSTPU_FFT_DEVICE_MAX_ELEMS (default 2^26)."""
+
+    def __init__(self):
+        import os
+
+        self.cap = int(
+            os.environ.get("RSTPU_FFT_DEVICE_MAX_ELEMS", str(1 << 26))
+        )
+
+    def _pick(self, n_elems: int):
+        return device if (device.enabled() and n_elems <= self.cap) else circle_fft
+
+    def interpolate(self, values):
+        return self._pick(values.size).interpolate(values)
+
+    def evaluate(self, coeffs):
+        return self._pick(coeffs.size).evaluate(coeffs)
+
+    def evaluate_lde(self, values, lde_log_size: int):
+        n_out = (values.size // values.shape[-1]) << lde_log_size
+        return self._pick(n_out).evaluate_lde(values, lde_log_size)
+
+
 def _fft():
-    """Active circle-FFT backend (device when enabled, else numpy)."""
-    return device if device.enabled() else circle_fft
+    """Active circle-FFT backend (size-routed device/numpy hybrid)."""
+    return _FFTRouter()
 
 
 def _point_sub_step_perm(dom_log: int, step_index: int) -> np.ndarray:

@@ -198,3 +198,115 @@ def sha256_grind(digest_words: np.ndarray, bits: int, start: int = 0) -> int:
     assert lib is not None
     d = np.ascontiguousarray(digest_words, np.uint32)
     return int(lib.sha256_grind(d.ctypes.data_as(_u32p), bits, start))
+
+
+# ---------------------------------------------------------------------------
+# M31 circle-FFT butterflies (native/m31fft.cpp) — host path for huge LDEs
+# ---------------------------------------------------------------------------
+
+_FFT_SRC = os.path.join(os.path.dirname(_SRC), "m31fft.cpp")
+_FFT_LIB = os.path.join(os.path.dirname(_SRC), "libm31fft.so")
+_fft_lib = None
+_fft_tried = False
+_u64p = ctypes.POINTER(ctypes.c_uint64)
+
+
+def _load_fft():
+    global _fft_lib, _fft_tried
+    with _lock:
+        if _fft_tried:
+            return _fft_lib
+        _fft_tried = True
+        try:
+            if not os.path.exists(_FFT_LIB) or os.path.getmtime(
+                _FFT_LIB
+            ) < os.path.getmtime(_FFT_SRC):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-march=native", "-mno-sha", "-fopenmp",
+                        "-shared", "-fPIC", "-o", _FFT_LIB, _FFT_SRC,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_FFT_LIB)
+            lib.m31_fft_evaluate.argtypes = [
+                _u32p, ctypes.c_uint64, ctypes.c_uint64, _u32p, _u64p,
+                ctypes.c_uint32,
+            ]
+            lib.m31_fft_interpolate.argtypes = [
+                _u32p, ctypes.c_uint64, ctypes.c_uint64, _u32p, _u64p,
+                ctypes.c_uint32, ctypes.c_uint32,
+            ]
+            _fft_lib = lib
+        except Exception:
+            _fft_lib = None
+        return _fft_lib
+
+
+def fft_available() -> bool:
+    return _load_fft() is not None
+
+
+def _twiddle_blob(tw_list):
+    off = np.zeros(len(tw_list), np.uint64)
+    pos = 0
+    for i, t in enumerate(tw_list):
+        off[i] = pos
+        pos += len(t)
+    blob = np.concatenate([np.asarray(t, np.uint32) for t in tw_list])
+    return blob, off
+
+
+def m31_fft_evaluate(coeffs: np.ndarray, tw_list) -> np.ndarray:
+    """(rows, n) coefficients -> evaluations; bit-exact with
+    circle_fft.evaluate."""
+    lib = _load_fft()
+    assert lib is not None
+    v = np.ascontiguousarray(coeffs, np.uint32).copy()
+    v2 = v.reshape(-1, v.shape[-1])
+    blob, off = _twiddle_blob(tw_list)
+    lib.m31_fft_evaluate(
+        v2.ctypes.data_as(_u32p), v2.shape[0], v2.shape[1],
+        blob.ctypes.data_as(_u32p), off.ctypes.data_as(_u64p),
+        len(tw_list),
+    )
+    return v
+
+
+def m31_fft_interpolate(values: np.ndarray, itw_list, inv2n: int) -> np.ndarray:
+    lib = _load_fft()
+    assert lib is not None
+    v = np.ascontiguousarray(values, np.uint32).copy()
+    v2 = v.reshape(-1, v.shape[-1])
+    blob, off = _twiddle_blob(itw_list)
+    lib.m31_fft_interpolate(
+        v2.ctypes.data_as(_u32p), v2.shape[0], v2.shape[1],
+        blob.ctypes.data_as(_u32p), off.ctypes.data_as(_u64p),
+        len(itw_list), np.uint32(inv2n),
+    )
+    return v
+
+
+def points_at_indices(idx: np.ndarray, gx: np.ndarray, gy: np.ndarray):
+    """Vectorized circle point_at_index (native); idx uint64, gx/gy the 31
+    generator-power coordinates."""
+    lib = _load_fft()
+    assert lib is not None
+    if not hasattr(lib, "_points_sig"):
+        lib.m31_points_at_indices.argtypes = [
+            _u64p, ctypes.c_uint64, _u32p, _u32p, ctypes.c_uint32,
+            _u32p, _u32p,
+        ]
+        lib._points_sig = True
+    idx = np.ascontiguousarray(idx, np.uint64)
+    gx = np.ascontiguousarray(gx, np.uint32)
+    gy = np.ascontiguousarray(gy, np.uint32)
+    out_x = np.empty(idx.shape, np.uint32)
+    out_y = np.empty(idx.shape, np.uint32)
+    lib.m31_points_at_indices(
+        idx.ctypes.data_as(_u64p), idx.size,
+        gx.ctypes.data_as(_u32p), gy.ctypes.data_as(_u32p), len(gx),
+        out_x.ctypes.data_as(_u32p), out_y.ctypes.data_as(_u32p),
+    )
+    return out_x, out_y
