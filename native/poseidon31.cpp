@@ -12,6 +12,14 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 constexpr uint32_t P = 2147483647u;
@@ -119,13 +127,270 @@ inline void permute_one(uint32_t* s) {
     for (int r = 0; r < 4; ++r) full_round(s, LAST_FOUR_ROUNDS_RC[r]);
 }
 
+
+// ---------------------------------------------------------------------------
+// AVX-512 16-way vertical permutation: one __m512i holds lane j of 16
+// different states; all field ops become elementwise vector ops.  Used by
+// the batch/tree entry points below (the hypervisor traps SHA-NI but runs
+// AVX-512 natively — see native/sha256.cpp).
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#define POS_AVX512 1
+
+namespace v16 {
+
+static const __m512i VP = _mm512_set1_epi32((int)2147483647u);
+
+static inline __m512i v_add(__m512i a, __m512i b) {
+    __m512i s = _mm512_add_epi32(a, b);
+    __mmask16 ge = _mm512_cmpge_epu32_mask(s, VP);
+    return _mm512_mask_sub_epi32(s, ge, s, VP);
+}
+
+static inline __m512i v_mul(__m512i a, __m512i b) {
+    const __m512i P64 = _mm512_set1_epi64((long long)2147483647u);
+    __m512i pe = _mm512_mul_epu32(a, b);
+    __m512i po = _mm512_mul_epu32(_mm512_srli_epi64(a, 32),
+                                  _mm512_srli_epi64(b, 32));
+    __m512i se = _mm512_add_epi64(_mm512_and_si512(pe, P64),
+                                  _mm512_srli_epi64(pe, 31));
+    __m512i so = _mm512_add_epi64(_mm512_and_si512(po, P64),
+                                  _mm512_srli_epi64(po, 31));
+    __m512i r = _mm512_or_si512(se, _mm512_slli_epi64(so, 32));
+    __mmask16 ge = _mm512_cmpge_epu32_mask(r, VP);
+    return _mm512_mask_sub_epi32(r, ge, r, VP);
+}
+
+static inline __m512i v_pow5(__m512i a) {
+    __m512i a2 = v_mul(a, a);
+    return v_mul(v_mul(a2, a2), a);
+}
+
+static inline void v_m4(__m512i* x) {
+    __m512i t0 = v_add(x[0], x[1]);
+    __m512i t1 = v_add(x[2], x[3]);
+    __m512i t2 = v_add(v_add(x[1], x[1]), t1);
+    __m512i t3 = v_add(v_add(x[3], x[3]), t0);
+    __m512i t4 = v_add(v_add(v_add(t1, t1), v_add(t1, t1)), t3);
+    __m512i t5 = v_add(v_add(v_add(t0, t0), v_add(t0, t0)), t2);
+    x[0] = v_add(t3, t5);
+    x[1] = t5;
+    x[2] = v_add(t2, t4);
+    x[3] = t4;
+}
+
+static inline void v_mds16(__m512i* s) {
+    __m512i t[16];
+    for (int i = 0; i < 16; ++i) t[i] = s[i];
+    for (int g = 0; g < 4; ++g) v_m4(t + 4 * g);
+    __m512i sums[4];
+    for (int j = 0; j < 4; ++j)
+        sums[j] = v_add(v_add(t[j], t[4 + j]), v_add(t[8 + j], t[12 + j]));
+    for (int i = 0; i < 16; ++i) s[i] = v_add(t[i], sums[i & 3]);
+}
+
+static inline void v_permute(__m512i* s) {
+    v_mds16(s);
+    for (int r = 0; r < 4; ++r) {
+        for (int i = 0; i < 16; ++i)
+            s[i] = v_pow5(v_add(s[i], _mm512_set1_epi32(
+                (int)FIRST_FOUR_ROUND_RC[r][i])));
+        v_mds16(s);
+    }
+    for (int r = 0; r < 14; ++r) {
+        s[0] = v_pow5(v_add(s[0], _mm512_set1_epi32(
+            (int)PARTIAL_ROUNDS_RC[r])));
+        __m512i total = s[0];
+        for (int i = 1; i < 16; ++i) total = v_add(total, s[i]);
+        for (int i = 0; i < 16; ++i)
+            s[i] = v_add(total, v_mul(s[i], _mm512_set1_epi32(
+                (int)MAT_DIAG16_M_1[i])));
+    }
+    for (int r = 0; r < 4; ++r) {
+        for (int i = 0; i < 16; ++i)
+            s[i] = v_pow5(v_add(s[i], _mm512_set1_epi32(
+                (int)LAST_FOUR_ROUNDS_RC[r][i])));
+        v_mds16(s);
+    }
+}
+
+static const __m512i STRIDE16 = _mm512_setr_epi32(
+    0, 16, 32, 48, 64, 80, 96, 112, 128, 144, 160, 176, 192, 208, 224, 240);
+
+// load lane j of 16 consecutive row-major states (row stride `stride` u32)
+static inline __m512i load_lane(const uint32_t* base, int j, int stride) {
+    __m512i idx = _mm512_mullo_epi32(
+        _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                          15),
+        _mm512_set1_epi32(stride));
+    idx = _mm512_add_epi32(idx, _mm512_set1_epi32(j));
+    return _mm512_i32gather_epi32(idx, (const int*)base, 4);
+}
+
+static inline void store_lane(uint32_t* base, int j, int stride, __m512i v) {
+    __m512i idx = _mm512_mullo_epi32(
+        _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                          15),
+        _mm512_set1_epi32(stride));
+    idx = _mm512_add_epi32(idx, _mm512_set1_epi32(j));
+    _mm512_i32scatter_epi32((int*)base, idx, v, 4);
+}
+
+}  // namespace v16
+#endif  // POS_AVX512
+
 }  // namespace
 
 extern "C" {
 
 // In-place Poseidon2 permutation of n contiguous 16-lane u32 states.
 void poseidon2_permute_batch(uint32_t* states, uint64_t n) {
+#ifdef POS_AVX512
+    int64_t n16 = (int64_t)(n / 16);
+#pragma omp parallel for schedule(static)
+    for (int64_t g = 0; g < n16; ++g) {
+        uint32_t* base = states + (uint64_t)g * 256;
+        __m512i s[16];
+        for (int j = 0; j < 16; ++j) s[j] = v16::load_lane(base, j, 16);
+        v16::v_permute(s);
+        for (int j = 0; j < 16; ++j) v16::store_lane(base, j, 16, s[j]);
+    }
+    for (uint64_t i = (uint64_t)n16 * 16; i < n; ++i)
+        permute_one(states + 16 * i);
+#else
     for (uint64_t i = 0; i < n; ++i) permute_one(states + 16 * i);
+#endif
+}
+
+// Merkle leaf level (commit._hash_leaf_level semantics): columns
+// (n_cols, N) C-order; out (N, 8) digests.
+void poseidon2_leaf_level(const uint32_t* cols, uint64_t n_cols, uint64_t N,
+                          uint32_t* out) {
+    uint64_t n_chunks = (n_cols + 7) / 8;
+#ifdef POS_AVX512
+    int64_t n16 = (int64_t)(N / 16);
+#pragma omp parallel for schedule(static)
+    for (int64_t g = 0; g < n16; ++g) {
+        uint64_t i0 = (uint64_t)g * 16;
+        __m512i digest[8];
+        for (int j = 0; j < 8; ++j) digest[j] = _mm512_setzero_si512();
+        for (uint64_t c = 0; c < n_chunks; ++c) {
+            __m512i s[16];
+            for (int j = 0; j < 8; ++j) {
+                uint64_t ci = c * 8 + (uint64_t)j;
+                s[j] = ci < n_cols
+                           ? _mm512_loadu_si512((const void*)(cols + ci * N + i0))
+                           : _mm512_setzero_si512();
+                s[8 + j] = digest[j];
+            }
+            v16::v_permute(s);
+            for (int j = 0; j < 8; ++j) digest[j] = s[8 + j];
+        }
+        __m512i s[16];
+        for (int j = 0; j < 8; ++j) {
+            s[j] = _mm512_setzero_si512();
+            s[8 + j] = digest[j];
+        }
+        v16::v_permute(s);
+        for (int j = 0; j < 8; ++j)
+            v16::store_lane(out + i0 * 8, j, 8, s[j]);
+    }
+    uint64_t rem0 = (uint64_t)n16 * 16;
+#else
+    uint64_t rem0 = 0;
+#endif
+    for (uint64_t i = rem0; i < N; ++i) {
+        uint32_t digest[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        uint32_t s[16];
+        for (uint64_t c = 0; c < n_chunks; ++c) {
+            for (int j = 0; j < 8; ++j) {
+                uint64_t ci = c * 8 + (uint64_t)j;
+                s[j] = ci < n_cols ? cols[ci * N + i] : 0;
+                s[8 + j] = digest[j];
+            }
+            permute_one(s);
+            for (int j = 0; j < 8; ++j) digest[j] = s[8 + j];
+        }
+        for (int j = 0; j < 8; ++j) {
+            s[j] = 0;
+            s[8 + j] = digest[j];
+        }
+        permute_one(s);
+        for (int j = 0; j < 8; ++j) out[i * 8 + j] = s[j];
+    }
+}
+
+// Merkle inner level (commit._hash_node_level semantics): children
+// (2N, 8) C-order, optional columns (n_cols, N); out (N, 8).
+void poseidon2_node_level(const uint32_t* children, const uint32_t* cols,
+                          uint64_t n_cols, uint64_t N, uint32_t* out) {
+    uint64_t n_chunks = (n_cols + 7) / 8;
+#ifdef POS_AVX512
+    int64_t n16 = (int64_t)(N / 16);
+#pragma omp parallel for schedule(static)
+    for (int64_t g = 0; g < n16; ++g) {
+        uint64_t i0 = (uint64_t)g * 16;
+        __m512i s[16];
+        const uint32_t* ch = children + i0 * 16;
+        for (int j = 0; j < 16; ++j) s[j] = v16::load_lane(ch, j, 16);
+        v16::v_permute(s);
+        __m512i h[8];
+        for (int j = 0; j < 8; ++j) h[j] = s[j];
+        if (n_cols) {
+            __m512i digest[8];
+            for (int j = 0; j < 8; ++j) digest[j] = _mm512_setzero_si512();
+            for (uint64_t c = 0; c < n_chunks; ++c) {
+                __m512i t[16];
+                for (int j = 0; j < 8; ++j) {
+                    uint64_t ci = c * 8 + (uint64_t)j;
+                    t[j] = ci < n_cols ? _mm512_loadu_si512(
+                                             (const void*)(cols + ci * N + i0))
+                                       : _mm512_setzero_si512();
+                    t[8 + j] = digest[j];
+                }
+                v16::v_permute(t);
+                for (int j = 0; j < 8; ++j) digest[j] = t[8 + j];
+            }
+            __m512i t[16];
+            for (int j = 0; j < 8; ++j) {
+                t[j] = h[j];
+                t[8 + j] = digest[j];
+            }
+            v16::v_permute(t);
+            for (int j = 0; j < 8; ++j) h[j] = t[j];
+        }
+        for (int j = 0; j < 8; ++j)
+            v16::store_lane(out + i0 * 8, j, 8, h[j]);
+    }
+    uint64_t rem0 = (uint64_t)n16 * 16;
+#else
+    uint64_t rem0 = 0;
+#endif
+    for (uint64_t i = rem0; i < N; ++i) {
+        uint32_t s[16];
+        std::memcpy(s, children + i * 16, 64);
+        permute_one(s);
+        uint32_t h[8];
+        std::memcpy(h, s, 32);
+        if (n_cols) {
+            uint32_t digest[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+            for (uint64_t c = 0; c < n_chunks; ++c) {
+                for (int j = 0; j < 8; ++j) {
+                    uint64_t ci = c * 8 + (uint64_t)j;
+                    s[j] = ci < n_cols ? cols[ci * N + i] : 0;
+                    s[8 + j] = digest[j];
+                }
+                permute_one(s);
+                for (int j = 0; j < 8; ++j) digest[j] = s[8 + j];
+            }
+            std::memcpy(s, h, 32);
+            std::memcpy(s + 8, digest, 32);
+            permute_one(s);
+            std::memcpy(h, s, 32);
+        }
+        std::memcpy(out + i * 8, h, 32);
+    }
 }
 
 // Sponge absorb: for each of n rows, digest = permute(op || digest)[8:].

@@ -90,10 +90,23 @@ class CommittedTree:
         return np.asarray(cols)[:, np.asarray(indices, np.int64)]
 
     def _build_levels(self) -> List[np.ndarray]:
-        from . import device
+        from ..utils import native
 
-        if device.enabled() and (1 << self.max_log) >= 1 << 12:
-            return device.merkle_levels(self.columns_by_log)
+        if native.available() and (1 << self.max_log) >= 1 << 8:
+            # AVX-512 16-way host hashing (~9M permutes/s) beats shipping
+            # columns over the remote-TPU link; the device-resident
+            # pipeline (DeviceTree) hashes on-device instead because its
+            # columns already live there
+            cols = {
+                L: np.asarray(c, np.uint32)
+                for L, c in self.columns_by_log.items()
+            }
+            levels = [native.poseidon_leaf_level(cols[self.max_log])]
+            h = levels[0]
+            for L in range(self.max_log - 1, -1, -1):
+                h = native.poseidon_node_level(h, cols.get(L))
+                levels.append(h)
+            return levels
         levels = [_hash_leaf_level(self.columns_by_log[self.max_log])]
         h = levels[0]
         for L in range(self.max_log - 1, -1, -1):

@@ -475,6 +475,62 @@ def _stage_composition_jit(spec: VerifierSpec):
 
 
 @lru_cache(maxsize=None)
+def _composition_coeffs_jit(spec: VerifierSpec):
+    """Composition AIR evaluation + interpolation only (2^bound domain —
+    small even at huge blowups).  Used by the host prover flow so the
+    composition phase rides the device while the (possibly enormous) comp
+    LDE runs through the size-routed host FFT.  Returns the (8, 2^(bound-1))
+    split coefficient block (left limbs then right limbs)."""
+    import jax
+
+    from .prove import _point_sub_step_perm
+
+    lp, lq = spec.log_size_plonk, spec.log_size_poseidon
+    bound = spec.composition_log_degree_bound
+    perm_sub = {
+        log: _point_sub_step_perm(bound, ccircle.Coset.odds(log).step_index)
+        for log in (lp, lq)
+    }
+    x_dom, _ = circle_fft.domain_points_bit_reversed(bound)
+
+    @jax.jit
+    def run(c_pre_p, c_tr_p, c_int_p, c_pre_q, c_tr_q, c_int_q,
+            z4, alpha4, rc4, tot_p4, tot_q4):
+        import jax.numpy as jnp
+
+        lookup = (_qm31_scalar(z4), _qm31_scalar(alpha4))
+        constraints = []
+        for (c_pre, c_tr, c_int, total, log, is_plonk) in (
+            (c_pre_p, c_tr_p, c_int_p, tot_p4, lp, True),
+            (c_pre_q, c_tr_q, c_int_q, tot_q4, lq, False),
+        ):
+            pre_l = _lde_t(c_pre, bound)
+            tr_l = _lde_t(c_tr, bound)
+            int_l = _lde_t(c_int, bound)
+            v = x_dom
+            for _ in range(log - 1):
+                sq = m31.mul(v, v)
+                v = m31.sub(m31.add(sq, sq), np.uint32(1))
+            denom_inv = m31.inv(jnp.asarray(v))
+            ev = _ProverEval(
+                pre_l, tr_l, int_l, perm_sub[log], total, denom_inv,
+                log, constraints,
+            )
+            if is_plonk:
+                vcomp.evaluate_plonk(ev, lookup)
+            else:
+                vcomp.evaluate_poseidon(ev, lookup)
+
+        acc = vcomp._horner(constraints, _qm31_scalar(rc4))
+        comp = jnp.stack(list(acc))
+        comp_coeffs = circle_fft.interpolate_traced(comp)
+        half = 1 << (bound - 1)
+        return jnp.concatenate([comp_coeffs[:, :half], comp_coeffs[:, half:]])
+
+    return run
+
+
+@lru_cache(maxsize=None)
 def _dev_domain(log_size: int):
     """Device copies of the bit-reversed circle-domain points."""
     import jax.numpy as jnp

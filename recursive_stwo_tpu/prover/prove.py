@@ -245,20 +245,51 @@ def prove(
 
     random_coeff4 = channel.draw_felt()
 
+    # ---- table coefficient blocks (shared by composition + OODS) ----
+    col_coeffs = {
+        (0, "p"): _fft().interpolate(air.to_domain_order(plonk_pre)),
+        (0, "q"): _fft().interpolate(air.to_domain_order(pos_pre)),
+        (1, "p"): _fft().interpolate(air.to_domain_order(plonk_tr)),
+        (1, "q"): _fft().interpolate(air.to_domain_order(pos_tr)),
+        (2, "p"): _fft().interpolate(air.to_domain_order(int_plonk)),
+        (2, "q"): _fft().interpolate(air.to_domain_order(int_pos)),
+    }
+
     # ---- composition polynomial ----
-    comp_evals = _composition_evals(
-        spec, bound,
-        plonk_pre, plonk_tr, int_plonk,
-        pos_pre, pos_tr, int_pos,
-        z4, alpha4, random_coeff4, plonk_total, pos_total,
-    )
+    if device.enabled():
+        # device path: the 2^bound-domain AIR evaluation is small enough
+        # for one jit even at huge blowups (only the comp LDE is big, and
+        # that runs through the size-routed FFT below)
+        from .device_prove import _composition_coeffs_jit
+
+        split_coeffs = np.asarray(
+            _composition_coeffs_jit(spec)(
+                col_coeffs[(0, "p")], col_coeffs[(1, "p")], col_coeffs[(2, "p")],
+                col_coeffs[(0, "q")], col_coeffs[(1, "q")], col_coeffs[(2, "q")],
+                np.asarray(z4, np.uint32), np.asarray(alpha4, np.uint32),
+                np.asarray(random_coeff4, np.uint32),
+                np.asarray(plonk_total, np.uint32),
+                np.asarray(pos_total, np.uint32),
+            ),
+            np.uint32,
+        )
+        half = 1 << (bound - 1)
+        left_coeffs = split_coeffs[:4]
+        right_coeffs = split_coeffs[4:]
+    else:
+        comp_evals = _composition_evals(
+            spec, bound,
+            plonk_pre, plonk_tr, int_plonk,
+            pos_pre, pos_tr, int_pos,
+            z4, alpha4, random_coeff4, plonk_total, pos_total,
+        )
+        comp_coeffs = np.stack(
+            [_fft().interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
+        )  # (4, 2^bound)
+        half = 1 << (bound - 1)
+        left_coeffs = comp_coeffs[:, :half]
+        right_coeffs = comp_coeffs[:, half:]
     plog("composition evals computed")
-    comp_coeffs = np.stack(
-        [_fft().interpolate(np.asarray(c, np.uint32)) for c in comp_evals]
-    )  # (4, 2^bound)
-    half = 1 << (bound - 1)
-    left_coeffs = comp_coeffs[:, :half]
-    right_coeffs = comp_coeffs[:, half:]
     comp_cols_lde = np.concatenate(
         [
             _fft().evaluate(circle_fft.extend(left_coeffs, bound - 1 + blowup)),
@@ -275,15 +306,7 @@ def prove(
     # ---- OODS samples ----
     # keys are (tree, table-tag), NOT (tree, log): lp == lq is legal (e.g.
     # a fiat_shamir-only stage circuit) and must not collide
-    col_coeffs = {
-        (0, "p"): _fft().interpolate(air.to_domain_order(plonk_pre)),
-        (0, "q"): _fft().interpolate(air.to_domain_order(pos_pre)),
-        (1, "p"): _fft().interpolate(air.to_domain_order(plonk_tr)),
-        (1, "q"): _fft().interpolate(air.to_domain_order(pos_tr)),
-        (2, "p"): _fft().interpolate(air.to_domain_order(int_plonk)),
-        (2, "q"): _fft().interpolate(air.to_domain_order(int_pos)),
-        (3, "c"): np.concatenate([left_coeffs, right_coeffs]),
-    }
+    col_coeffs[(3, "c")] = np.concatenate([left_coeffs, right_coeffs])
     shifted = {}
     for log in (lp, lq):
         step = ccircle.CanonicCoset(log).step()

@@ -36,8 +36,8 @@ def _load():
             ) < os.path.getmtime(_SRC):
                 subprocess.run(
                     [
-                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        "-o", _LIB, _SRC,
+                        "g++", "-O3", "-march=native", "-mno-sha", "-fopenmp",
+                        "-shared", "-fPIC", "-o", _LIB, _SRC,
                     ],
                     check=True,
                     capture_output=True,
@@ -58,6 +58,15 @@ def _load():
                 ctypes.c_uint64,
             ]
             lib.poseidon2_grind.restype = ctypes.c_uint64
+            lib.poseidon2_leaf_level.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
+                ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+            ]
+            lib.poseidon2_node_level.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
+                ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -310,3 +319,38 @@ def points_at_indices(idx: np.ndarray, gx: np.ndarray, gy: np.ndarray):
         out_x.ctypes.data_as(_u32p), out_y.ctypes.data_as(_u32p),
     )
     return out_x, out_y
+
+
+def poseidon_leaf_level(columns: np.ndarray) -> np.ndarray:
+    """(n_cols, N) -> (N, 8) Poseidon Merkle leaf digests (AVX-512)."""
+    lib = _load()
+    assert lib is not None
+    cols = np.ascontiguousarray(columns, np.uint32)
+    n_cols, N = cols.shape
+    out = np.empty((N, 8), np.uint32)
+    lib.poseidon2_leaf_level(
+        cols.ctypes.data_as(_u32p), n_cols, N, out.ctypes.data_as(_u32p)
+    )
+    return out
+
+
+def poseidon_node_level(
+    children: np.ndarray, columns: np.ndarray | None
+) -> np.ndarray:
+    """children (2N, 8) + optional (n_cols, N) columns -> (N, 8)."""
+    lib = _load()
+    assert lib is not None
+    ch = np.ascontiguousarray(children, np.uint32)
+    N = ch.shape[0] // 2
+    out = np.empty((N, 8), np.uint32)
+    if columns is not None and columns.shape[0]:
+        cols = np.ascontiguousarray(columns, np.uint32)
+        lib.poseidon2_node_level(
+            ch.ctypes.data_as(_u32p), cols.ctypes.data_as(_u32p),
+            cols.shape[0], N, out.ctypes.data_as(_u32p),
+        )
+    else:
+        lib.poseidon2_node_level(
+            ch.ctypes.data_as(_u32p), None, 0, N, out.ctypes.data_as(_u32p)
+        )
+    return out
