@@ -79,26 +79,32 @@ def _sample_columns_host(coeffs: np.ndarray, basis: np.ndarray) -> np.ndarray:
 
 
 def _sample_at(coeffs: np.ndarray, log_size: int, p4) -> np.ndarray:
-    """Sample all columns of an FFT-basis coefficient block at a point."""
-    if device.enabled() and coeffs.shape[-1] >= 1 << 12:
+    """Sample all columns of an FFT-basis coefficient block at a point.
+    Host numpy below 2^22 elements (typical host-flow sizes); the device
+    matvec only pays off for much larger blocks."""
+    if device.enabled() and coeffs.size >= 1 << 22:
         return device.sample_columns(coeffs, _factors_at_point(log_size, p4))
     return _sample_columns_host(coeffs, _basis_at_point(log_size, p4))
 
 
 class _FFTRouter:
-    """Per-call circle-FFT backend choice: device for shapes the remote
-    TPU compiles and fits, host numpy above a size cap.  The axon AOT
-    compiler materializes far more live buffers than the steady-state
-    need for very large single-FFT programs (observed: 24G requested for
-    a (4, 2^25) evaluate, chain level 8), so huge calls run on the host
-    (125G RAM) instead.  Cap in total elements, env
-    RSTPU_FFT_DEVICE_MAX_ELEMS (default 2^26)."""
+    """Per-call circle-FFT backend for the HOST prover flow.
+
+    Defaults to the host path everywhere: circle_fft dispatches to the
+    native AVX-512 butterfly kernels (native/m31fft.cpp) above 2^18
+    elements, which is faster and far more predictable than shipping
+    every transform over the remote-TPU link (eager per-op dispatch
+    stalls for minutes, and the axon AOT compiler requests ~24G HBM for a
+    single (4, 2^25) FFT program).  The fully device-resident pipeline
+    (device_prove.py) never routes through here.  Set
+    RSTPU_FFT_DEVICE_MAX_ELEMS > 0 to re-enable device FFTs below that
+    element count."""
 
     def __init__(self):
         import os
 
         self.cap = int(
-            os.environ.get("RSTPU_FFT_DEVICE_MAX_ELEMS", str(1 << 26))
+            os.environ.get("RSTPU_FFT_DEVICE_MAX_ELEMS", "0")
         )
 
     def _pick(self, n_elems: int):
