@@ -89,6 +89,16 @@ def _structural_checks(spec, pa, fs, oods, xp):
     """Quotients, FRI folding, and all Merkle hash-plan checks — shared by
     the with- and without-poseidon verifiers (everything here is driven by
     the duck-typed spec)."""
+    checks, pair_jobs = fold_phase(spec, pa, fs, oods, xp)
+    checks.update(hash_phase(spec, pa, fs, pair_jobs, xp))
+    return checks
+
+
+def fold_phase(spec, pa, fs, oods, xp):
+    """Quotient ('FRI answers') evaluation + the FRI fold arithmetic.
+
+    Returns (checks, pair_jobs): the fold-consistency checks and the
+    assembled per-layer pair-walk jobs the hash phase consumes."""
     checks = {}
     half_pts = points.half_index_points(spec, fs.raw_queries, spec.final_fold_log)
     answers = []
@@ -113,8 +123,13 @@ def _structural_checks(spec, pa, fs, oods, xp):
     # FRI fold math + walk assembly
     fri_checks, pair_jobs = fri_mod.verify_fri(spec, fs, pa, answers, half_pts)
     checks.update(fri_checks)
+    return checks, pair_jobs
 
-    # ---- hash planning: one absorb scan + one leaf batch + two walk scans
+
+def hash_phase(spec, pa, fs, pair_jobs, xp):
+    """All Merkle hashing: one absorb scan + one leaf batch + two walk
+    scans (hashplan.py); yields the tree0-3 and FRI-layer root checks."""
+    checks = {}
     chains = []
     chain_idx = {}
 

@@ -1,0 +1,184 @@
+"""Per-phase wall breakdown + kernel roofline for the device verifier.
+
+Runs the four verifier phases (transcript scan, composition evaluation,
+quotients + FRI fold math, Merkle hash plans) as separately jitted
+programs over a BENCH_BATCH-proof batch of a fixture, times each, and
+measures the Pallas Poseidon2-16 kernel against a measured VPU
+elementwise speed-of-light.  Writes the numbers to stdout as JSON (one
+dict) and optionally captures a jax.profiler trace.
+
+The phase programs share arrays with the full program, so the phase-sum
+exceeds the fused full-program time; the delta is XLA fusion win, which
+the output reports explicitly.
+
+Usage:
+  python tools/profile_verifier.py [--fixture small_proof] [--batch 1024]
+                                   [--trace /tmp/rstpu_trace]
+
+Reference for the phase structure: verify.py::verify_batch and the hint
+pipeline it mirrors (/root/reference/components/hints/src/*.rs).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+from recursive_stwo_tpu.core import qm31 as q
+from recursive_stwo_tpu.models.flagship import prepared_arrays, tiled_batch
+from recursive_stwo_tpu.verifier import points, transcript, verify
+
+
+def _time(fn, *args, reps=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+# ---------------------------------------------------------------- poseidon
+# analytic scalar-op count per permutation, from the unrolled kernel
+# (ops/poseidon_pallas.py::_kernel).  "op" = one 32-bit VPU lane op.
+OPS_ADD = 4          # add, ge, mul, sub
+OPS_MUL = 30         # 16-bit limb split + staged reductions
+OPS_POW5 = 3 * OPS_MUL
+OPS_MDS16 = 84 * OPS_ADD          # 84 modular adds (incl. doublings)
+OPS_FULL_ROUND = 16 * OPS_ADD + 16 * OPS_POW5 + OPS_MDS16
+OPS_PARTIAL = OPS_ADD + OPS_POW5 + 15 * OPS_ADD + 3 * OPS_ADD + 15 * (4 + OPS_ADD)
+OPS_PER_PERM = OPS_MDS16 + 8 * OPS_FULL_ROUND + 14 * OPS_PARTIAL
+
+
+def vpu_elementwise_ops_per_sec():
+    """Measured u32 elementwise ceiling: a 512-deep dependent chain of
+    (mul, add) pairs over a 2^22-lane array; XLA keeps it in registers."""
+    n = 1 << 22
+    x = jnp.arange(n, dtype=jnp.uint32)
+    c = jnp.uint32(0x9E3779B9)
+    K = 512
+
+    @jax.jit
+    def chain(x):
+        for _ in range(K):
+            x = x * c + (x >> jnp.uint32(1))
+        return x
+
+    dt = _time(chain, x, reps=5)
+    return n * K * 3 / dt  # mul + shift + add per iteration
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture", default="small_proof")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--trace", default=None,
+                    help="directory for a jax.profiler trace of one step")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    spec, pa = prepared_arrays(args.fixture)
+    paj = jax.tree.map(jnp.asarray, tiled_batch(pa, args.batch))
+    inputs = (verify.INPUTS_ONE if args.fixture == "small_proof"
+              else verify.INPUTS_RECURSIVE)
+    out = {"fixture": args.fixture, "batch": args.batch,
+           "device": str(jax.devices()[0])}
+
+    # ---- full program
+    f_full = jax.jit(lambda a: verify.verify_batch(spec, a, inputs)["ok"])
+    ok = np.asarray(f_full(paj))
+    assert ok.all()
+    t_full = _time(f_full, paj, reps=args.reps)
+    out["full_ms"] = round(t_full * 1e3, 3)
+
+    # ---- phase 1: transcript scan (Fiat-Shamir digest chain + draws)
+    f_fs = jax.jit(lambda a: transcript.run_transcript(spec, a))
+    fs = f_fs(paj)
+    t_fs = _time(f_fs, paj, reps=args.reps)
+
+    # ---- phase 2: composition at OODS (incl. pow + total-sum scalars)
+    def comp(a, fs):
+        from recursive_stwo_tpu.verifier import composition as cmod
+        oods = points.oods_point_from_t(fs.oods_t)
+        return cmod.composition_check(
+            spec, a.samples_flat,
+            q.QM31(*(a.plonk_total_sum[:, i] for i in range(4))),
+            q.QM31(*(a.poseidon_total_sum[:, i] for i in range(4))),
+            (fs.z, fs.alpha), fs.random_coeff, oods)
+
+    f_comp = jax.jit(comp)
+    t_comp = _time(f_comp, paj, fs, reps=args.reps)
+
+    # ---- phase 3: quotients + FRI fold arithmetic
+    def fold(a, fs):
+        oods = points.oods_point_from_t(fs.oods_t)
+        checks, _ = verify.fold_phase(spec, a, fs, oods, jnp)
+        return checks
+
+    f_fold = jax.jit(fold)
+    t_fold = _time(f_fold, paj, fs, reps=args.reps)
+
+    # ---- phase 4: Merkle hash plans (absorb + leaves + walks)
+    def hashp(a, fs):
+        oods = points.oods_point_from_t(fs.oods_t)
+        _, pair_jobs = verify.fold_phase(spec, a, fs, oods, jnp)
+        return verify.hash_phase(spec, a, fs, pair_jobs, jnp)
+
+    f_hash = jax.jit(hashp)
+    t_hash_incl = _time(f_hash, paj, fs, reps=args.reps)
+    t_hash = max(t_hash_incl - t_fold, 0.0)  # subtract the fold prefix
+
+    phases = {
+        "transcript_ms": round(t_fs * 1e3, 3),
+        "composition_ms": round(t_comp * 1e3, 3),
+        "quotients_fri_ms": round(t_fold * 1e3, 3),
+        "hash_plans_ms": round(t_hash * 1e3, 3),
+    }
+    out["phases"] = phases
+    phase_sum = sum(phases.values())
+    out["phase_sum_ms"] = round(phase_sum, 3)
+    out["fusion_win_pct"] = round(100 * (1 - out["full_ms"] / phase_sum), 1)
+    out["proofs_per_sec"] = round(args.batch / t_full, 1)
+
+    # ---- Poseidon kernel vs measured VPU speed of light
+    from recursive_stwo_tpu.core import poseidon2
+
+    n_states = 1 << 20
+    states = jnp.asarray(
+        np.random.default_rng(0)
+        .integers(0, (1 << 31) - 1, (n_states, 16), dtype=np.int64)
+        .astype(np.uint32))
+    pfn = jax.jit(poseidon2.permute)
+    dt = _time(pfn, states, reps=args.reps)
+    perms = n_states / dt
+    vpu = vpu_elementwise_ops_per_sec()
+    sol = vpu / OPS_PER_PERM
+    out["poseidon"] = {
+        "perms_per_sec": round(perms),
+        "scalar_ops_per_perm": OPS_PER_PERM,
+        "measured_vpu_u32_ops_per_sec": round(vpu),
+        "speed_of_light_perms_per_sec": round(sol),
+        "fraction_of_sol": round(perms / sol, 3),
+    }
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(f_full(paj))
+        out["trace_dir"] = args.trace
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
