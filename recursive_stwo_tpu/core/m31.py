@@ -36,21 +36,19 @@ def _as_u32(x):
 
 def add(a, b):
     """(a + b) mod p.  a, b in [0, p) => a+b < 2**32 with no wrap issues."""
-    s = _as_u32(a) + _as_u32(b)
-    return s - (s >= P) * P
+    return reduce_once(_as_u32(a) + _as_u32(b))
 
 
 def neg(a):
     # p - a in (0, p], then canonicalize so that a == 0 maps back to 0.
-    r = P - _as_u32(a)
-    return r - (r >= P) * P
+    return reduce_once(P - _as_u32(a))
 
 
 def sub(a, b):
     # a + (p - b), both summands < 2**31 so the uint32 sum cannot wrap.
     s = _as_u32(a) + (P - _as_u32(b))
     s = (s & MASK31) + (s >> np.uint32(31))
-    return s - (s >= P) * P
+    return reduce_once(s)
 
 
 def _partial_reduce(t):
@@ -59,7 +57,15 @@ def _partial_reduce(t):
 
 
 def reduce_once(t):
-    """Canonicalize a value in [0, p] (or slightly above after partial) to [0, p)."""
+    """Canonicalize a value in [0, 2p-2] to [0, p).
+
+    jax path: compare+select (1 VPU op each) instead of the mask-multiply
+    `t - (t >= P) * P`, which lowers to a u32 multiply per reduction —
+    measurably slower on the TPU VPU (see docs/perf.md)."""
+    if type(t).__module__.startswith("jax"):
+        import jax.numpy as jnp
+
+        return jnp.where(t >= P, t - P, t)
     return t - (t >= P) * P
 
 

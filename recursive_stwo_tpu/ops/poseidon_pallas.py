@@ -36,8 +36,11 @@ def _kernel(in_ref, out_ref):
     u32 = jnp.uint32
 
     def add(a, b):
+        # select-based conditional reduce: 1 add + 1 cmp + 1 select, no
+        # u32 multiply (the mask-multiply form costs a VPU int-mul per add
+        # — 1,360 of them per permutation)
         s = a + b
-        return s - u32(P) * (s >= u32(P)).astype(jnp.uint32)
+        return jnp.where(s >= u32(P), s - u32(P), s)
 
     def dbl(a):
         return add(a, a)
@@ -59,7 +62,7 @@ def _kernel(in_ref, out_ref):
         r = (r & u32(P)) + (r >> u32(31))
         r = r + m3 + m3
         r = (r & u32(P)) + (r >> u32(31))
-        return r - u32(P) * (r >= u32(P)).astype(jnp.uint32)
+        return jnp.where(r >= u32(P), r - u32(P), r)
 
     def mul_pow2(a, k):
         # x * 2^k mod p == 31-bit rotation (canonical in, canonical out)

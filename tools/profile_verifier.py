@@ -22,7 +22,10 @@ pipeline it mirrors (/root/reference/components/hints/src/*.rs).
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
@@ -50,33 +53,43 @@ def _time(fn, *args, reps=10):
 
 
 # ---------------------------------------------------------------- poseidon
-# analytic scalar-op count per permutation, from the unrolled kernel
-# (ops/poseidon_pallas.py::_kernel).  "op" = one 32-bit VPU lane op.
-OPS_ADD = 4          # add, ge, mul, sub
-OPS_MUL = 30         # 16-bit limb split + staged reductions
-OPS_POW5 = 3 * OPS_MUL
-OPS_MDS16 = 84 * OPS_ADD          # 84 modular adds (incl. doublings)
-OPS_FULL_ROUND = 16 * OPS_ADD + 16 * OPS_POW5 + OPS_MDS16
-OPS_PARTIAL = OPS_ADD + OPS_POW5 + 15 * OPS_ADD + 3 * OPS_ADD + 15 * (4 + OPS_ADD)
-OPS_PER_PERM = OPS_MDS16 + 8 * OPS_FULL_ROUND + 14 * OPS_PARTIAL
+# analytic scalar-op mix per permutation, from the unrolled kernel
+# (ops/poseidon_pallas.py::_kernel).  Two op classes with different VPU
+# throughput: u32 multiplies vs cheap ops (add/sub/shift/and/cmp/select).
+#
+#   modular add (select-reduce): add + sub + cmp + select  = 4 cheap
+#   M31 mul (16-bit limbs):      4 u32 muls + ~26 cheap
+#   mul_pow2 (rotation):         4 cheap
+#
+# call counts: 1,360 modular adds (initial MDS + 8 full rounds x (16 RC +
+# 84 MDS adds) + 14 partial rounds x 34), 426 M31 muls (142 pow5 x 3),
+# 210 rotations (14 rounds x 15 lanes).
+N_MULS_PER_PERM = 426 * 4
+N_CHEAP_PER_PERM = 1360 * 4 + 426 * 26 + 14 * 15 * 4
 
 
-def vpu_elementwise_ops_per_sec():
-    """Measured u32 elementwise ceiling: a 512-deep dependent chain of
-    (mul, add) pairs over a 2^22-lane array; XLA keeps it in registers."""
-    n = 1 << 22
-    x = jnp.arange(n, dtype=jnp.uint32)
-    c = jnp.uint32(0x9E3779B9)
-    K = 512
+def _vpu_rate(op, n=1 << 22, K=512, ops_per_iter=1):
+    """Throughput of one elementwise op class: K-deep chain over n lanes
+    (data-parallel across lanes, so throughput- not latency-bound)."""
+    x = jnp.arange(n, dtype=jnp.uint32) | jnp.uint32(1)
 
     @jax.jit
     def chain(x):
         for _ in range(K):
-            x = x * c + (x >> jnp.uint32(1))
+            x = op(x)
         return x
 
     dt = _time(chain, x, reps=5)
-    return n * K * 3 / dt  # mul + shift + add per iteration
+    return n * K * ops_per_iter / dt
+
+
+def vpu_ceilings():
+    mul_rate = _vpu_rate(lambda x: x * x, ops_per_iter=1)
+    cheap_rate = _vpu_rate(
+        lambda x: (x + jnp.uint32(0x9E3779B9)) ^ (x >> jnp.uint32(1)),
+        ops_per_iter=3,
+    )
+    return mul_rate, cheap_rate
 
 
 def main():
@@ -162,12 +175,14 @@ def main():
     pfn = jax.jit(poseidon2.permute)
     dt = _time(pfn, states, reps=args.reps)
     perms = n_states / dt
-    vpu = vpu_elementwise_ops_per_sec()
-    sol = vpu / OPS_PER_PERM
+    mul_rate, cheap_rate = vpu_ceilings()
+    sol = 1.0 / (N_MULS_PER_PERM / mul_rate + N_CHEAP_PER_PERM / cheap_rate)
     out["poseidon"] = {
         "perms_per_sec": round(perms),
-        "scalar_ops_per_perm": OPS_PER_PERM,
-        "measured_vpu_u32_ops_per_sec": round(vpu),
+        "u32_muls_per_perm": N_MULS_PER_PERM,
+        "cheap_ops_per_perm": N_CHEAP_PER_PERM,
+        "vpu_u32_mul_per_sec": round(mul_rate),
+        "vpu_cheap_ops_per_sec": round(cheap_rate),
         "speed_of_light_perms_per_sec": round(sol),
         "fraction_of_sol": round(perms / sol, 3),
     }
