@@ -179,6 +179,20 @@ def main():
         )
         with open(out_path, "wb") as f:
             pickle.dump(aggregate, f)
+        # reference-compatible bincode alongside the pickle
+        # (single-proof/src/main.rs:100-105)
+        from recursive_stwo_tpu.proof.serialize import (
+            serialize_plonk_with_poseidon_proof,
+        )
+
+        mode = (
+            "bytes32"
+            if np.asarray(aggregate.stark_proof.commitments[0]).dtype == np.uint8
+            else "m31x8"
+        )
+        bin_path = out_path.replace(".pkl", ".bin")
+        with open(bin_path, "wb") as f:
+            f.write(serialize_plonk_with_poseidon_proof(aggregate, mode))
         print(f"level {level}: saved {out_path}", flush=True)
 
 

@@ -65,6 +65,13 @@ def main():
     out = os.path.join(TESTDATA, f"recursive_proof_{lp}_{lq}.bin.pkl")
     with open(out, "wb") as f:
         pickle.dump(recursive_proof, f)
+    # reference-compatible bincode (single-proof/src/main.rs:100-105)
+    from recursive_stwo_tpu.proof.serialize import (
+        serialize_plonk_with_poseidon_proof,
+    )
+
+    with open(out[: -len(".pkl")] + ".out.bin", "wb") as f:
+        f.write(serialize_plonk_with_poseidon_proof(recursive_proof))
 
     spec = VerifierSpec.from_proof(recursive_proof)
     pa = hints.prepare(spec, [recursive_proof])

@@ -177,7 +177,11 @@ def prove(
             max(probe_lp, probe_lq, probe_bound - 1)
             + config.fri_config.log_blowup_factor
         )
-        if max_domain < int(os.environ.get("RSTPU_DEVICE_HUGE_LOG", "25")):
+        # measured on v5e (16G HBM): the fully device-resident pipeline
+        # OOMs at max_domain 24 (fast_verifier blowup 2^7 at 2^16 rows
+        # wants 16.15G); those shapes take the host flow below, whose
+        # FFTs/trees ride the native AVX-512 kernels
+        if max_domain < int(os.environ.get("RSTPU_DEVICE_HUGE_LOG", "24")):
             return prove_device(trace, config, progress)
 
     Tree = tree_cls or CommittedTree

@@ -62,6 +62,43 @@ def hash_node(children, cols: np.ndarray) -> np.ndarray:
     return h
 
 
+# Batched (row-parallel) variants of the same hashes: one permute call per
+# tree level instead of one per node.  They ride the AVX-512 16-way kernel
+# (native/poseidon31.cpp) when available and stay fully-batched numpy
+# otherwise, which keeps host hint preparation fast even without g++.
+
+def _hash_columns_batch(cols: np.ndarray) -> np.ndarray:
+    """(N, k) M31 columns -> (N, 8) capacity digests (chunks of 8)."""
+    n_rows, k = cols.shape
+    digest = np.zeros((n_rows, 8), np.uint32)
+    for ci in range(0, k, 8):
+        chunk = np.zeros((n_rows, 8), np.uint32)
+        part = cols[:, ci : ci + 8]
+        chunk[:, : part.shape[1]] = part
+        digest = poseidon2.permute(
+            np.concatenate([chunk, digest], axis=1)
+        )[:, 8:]
+    return digest
+
+
+def _hash_leaves_batch(cols: np.ndarray) -> np.ndarray:
+    """(N, k) -> (N, 8): hash_node(None, cols) for every row."""
+    digest = _hash_columns_batch(np.asarray(cols, np.uint32))
+    state = np.concatenate([np.zeros_like(digest), digest], axis=1)
+    return poseidon2.permute(state)[:, :8]
+
+
+def _hash_nodes_batch(
+    left: np.ndarray, right: np.ndarray, cols: np.ndarray | None
+) -> np.ndarray:
+    """(N, 8) x2 children + optional (N, k) columns -> (N, 8)."""
+    h = poseidon2.permute(np.concatenate([left, right], axis=1))[:, :8]
+    if cols is not None and cols.shape[1]:
+        col_digest = _hash_columns_batch(np.asarray(cols, np.uint32))
+        h = poseidon2.permute(np.concatenate([h, col_digest], axis=1))[:, :8]
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Commitment-tree path expansion (single-path proofs)
 # ---------------------------------------------------------------------------
@@ -87,49 +124,85 @@ def expand_single_paths(
 
     Returns (sibling_hashes (Q, max_log, 8), columns {log->(Q, n)}).
     hash_node_fn overrides the Poseidon31 node hash (e.g. the SHA-256
-    flavor, verifier/sha256_merkle.py)."""
-    hash_node_ = hash_node_fn or hash_node
+    flavor, verifier/sha256_merkle.py); the default Poseidon31 flavor
+    hashes each tree level as ONE batched permute call."""
     queries = sorted(set(raw_queries))
-    vit = iter(values)
     n_top = n_columns_per_log_size[max_log]
+    values = np.ascontiguousarray(values, np.uint32).ravel()
+    hw = np.asarray(decommitment.hash_witness, np.uint32).reshape(-1, 8)
+    vcur = hcur = 0
 
-    queries_values = {}
-    for qq in queries:
-        queries_values[qq] = np.array([next(vit) for _ in range(n_top)], np.uint32)
+    def take_vals(n: int) -> np.ndarray:
+        nonlocal vcur
+        assert vcur + n <= values.size, "value witness exhausted (corrupted proof?)"
+        out = values[vcur : vcur + n]
+        vcur += n
+        return out
+
+    def take_hash() -> np.ndarray:
+        nonlocal hcur
+        assert hcur < hw.shape[0], "hash witness exhausted (corrupted proof?)"
+        out = hw[hcur]
+        hcur += 1
+        return out
 
     assert len(decommitment.column_witness) == 0
-    hit = iter(decommitment.hash_witness)
 
-    hash_layers: List[Dict[int, np.ndarray]] = [
-        {qq: hash_node_(None, queries_values[qq]) for qq in queries}
-    ]
+    leaf_cols = take_vals(len(queries) * n_top).reshape(len(queries), n_top)
+    queries_values = {qq: leaf_cols[i] for i, qq in enumerate(queries)}
+
+    if hash_node_fn is None:
+        leaf_hashes = _hash_leaves_batch(leaf_cols)
+        hash_layers: List[Dict[int, np.ndarray]] = [
+            {qq: leaf_hashes[i] for i, qq in enumerate(queries)}
+        ]
+    else:
+        hash_layers = [
+            {qq: hash_node_fn(None, queries_values[qq]) for qq in queries}
+        ]
     column_layers: List[Dict[int, np.ndarray]] = []
     positions = sorted(queries)
 
     for i in range(max_log):
         layer: Dict[int, np.ndarray] = {}
         column_layer: Dict[int, np.ndarray] = {}
-        parents = []
+        ncols = n_columns_per_log_size.get(max_log - 1 - i, 0)
+        parents: List[int] = []
+        lefts: List[np.ndarray] = []
+        rights: List[np.ndarray] = []
+        colrows: List[np.ndarray] = []
         for position in positions:
-            if (position >> 1) in layer:
+            if (position >> 1) in column_layer:
                 continue
             sibling_idx = position ^ 1
-            ncols = n_columns_per_log_size.get(max_log - 1 - i, 0)
-            cols = np.array([_take(vit, 'value') for _ in range(ncols)], np.uint32)
+            cols = take_vals(ncols)
             column_layer[position >> 1] = cols
             if sibling_idx not in hash_layers[i]:
-                hash_layers[i][sibling_idx] = np.asarray(_take(hit, 'hash'), np.uint32)
+                hash_layers[i][sibling_idx] = take_hash()
             sibling = hash_layers[i][sibling_idx]
             own = hash_layers[i][position]
             pair = (own, sibling) if position & 1 == 0 else (sibling, own)
-            layer[position >> 1] = hash_node_(pair, cols)
-            parents.append(position >> 1)
+            if hash_node_fn is None:
+                parents.append(position >> 1)
+                lefts.append(pair[0])
+                rights.append(pair[1])
+                colrows.append(cols)
+            else:
+                layer[position >> 1] = hash_node_fn(pair, cols)
+                parents.append(position >> 1)
+        if hash_node_fn is None and parents:
+            hashed = _hash_nodes_batch(
+                np.stack(lefts), np.stack(rights),
+                np.stack(colrows) if ncols else None,
+            )
+            for j, parent in enumerate(parents):
+                layer[parent] = hashed[j]
         column_layers.append(column_layer)
         hash_layers.append(layer)
         positions = sorted(set(parents))
 
-    assert next(hit, None) is None
-    assert next(vit, None) is None
+    assert hcur == hw.shape[0], "unconsumed hash witness"
+    assert vcur == values.size, "unconsumed value witness"
     assert np.array_equal(hash_layers[-1][0], root), "tree root mismatch"
 
     Q = len(raw_queries)
@@ -171,14 +244,39 @@ def expand_pair_paths(
 ):
     """Per-query pair paths (self+sibling QM31 per data level, shared sibling
     hashes).  Returns (sibling_hashes (Q, depth-1, 8),
-    self_cols {log->(Q,4)}, sib_cols {log->(Q,4)})."""
-    hash_node_ = hash_node_fn or hash_node
+    self_cols {log->(Q,4)}, sib_cols {log->(Q,4)}).  The default Poseidon31
+    flavor hashes each tree level as one batched permute call."""
     max_log = max(log_sizes_with_data)
     data_set = set(log_sizes_with_data)
     assert len(decommitment.column_witness) == 0
 
-    vit = iter(values)
-    hit = iter(decommitment.hash_witness)
+    values = np.ascontiguousarray(values, np.uint32).ravel()
+    hw = np.asarray(decommitment.hash_witness, np.uint32).reshape(-1, 8)
+    vcur = hcur = 0
+
+    def take_hash() -> np.ndarray:
+        nonlocal hcur
+        assert hcur < hw.shape[0], "hash witness exhausted (corrupted proof?)"
+        out = hw[hcur]
+        hcur += 1
+        return out
+
+    def batch_hash(pairs: List[tuple], cols: np.ndarray | None):
+        """pairs [(left8, right8)], cols (N, k) or None -> list of (8,)."""
+        if hash_node_fn is not None:
+            if cols is None:
+                return [
+                    hash_node_fn(pair, np.array([])) for pair in pairs
+                ]
+            return [
+                hash_node_fn(pair, cols[j]) for j, pair in enumerate(pairs)
+            ]
+        hashed = _hash_nodes_batch(
+            np.stack([p[0] for p in pairs]),
+            np.stack([p[1] for p in pairs]),
+            cols,
+        )
+        return list(hashed)
 
     queries = list(leaf_queries)
     queries_values_map: Dict[int, Dict[int, np.ndarray]] = {}
@@ -188,41 +286,55 @@ def expand_pair_paths(
         queries = sorted(set(queries))
         if current in data_set:
             self_and_sib = sorted({v for qq in queries for v in (qq, qq ^ 1)})
-            qv: Dict[int, np.ndarray] = {}
-            for k in self_and_sib:
-                qv[k] = np.array([next(vit) for _ in range(4)], np.uint32)
+            n_k = len(self_and_sib)
+            assert vcur + 4 * n_k <= values.size, "value witness exhausted"
+            vals = values[vcur : vcur + 4 * n_k].reshape(n_k, 4)
+            vcur += 4 * n_k
+            qv = {k: vals[j] for j, k in enumerate(self_and_sib)}
             layer: Dict[int, np.ndarray] = {}
-            for qq, val in qv.items():
-                if current == max_log:
-                    layer[qq] = hash_node_(None, val)
+            if current == max_log:
+                if hash_node_fn is None:
+                    hashed = _hash_leaves_batch(vals)
                 else:
+                    hashed = [hash_node_fn(None, v) for v in vals]
+                for j, k in enumerate(self_and_sib):
+                    layer[k] = hashed[j]
+            else:
+                pairs = []
+                for qq in self_and_sib:
                     l_idx, r_idx = qq << 1, (qq << 1) + 1
                     for idx in (l_idx, r_idx):
                         if idx not in hash_layers[-1]:
-                            hash_layers[-1][idx] = np.asarray(_take(hit, 'hash'), np.uint32)
-                    layer[qq] = hash_node_(
-                        (hash_layers[-1][l_idx], hash_layers[-1][r_idx]), val
+                            hash_layers[-1][idx] = take_hash()
+                    pairs.append(
+                        (hash_layers[-1][l_idx], hash_layers[-1][r_idx])
                     )
+                hashed = batch_hash(pairs, vals)
+                for j, qq in enumerate(self_and_sib):
+                    layer[qq] = hashed[j]
             queries_values_map[current] = qv
             hash_layers.append(layer)
         else:
             assert current != max_log
             layer = {}
+            pairs = []
             for qq in queries:
                 l_idx, r_idx = qq << 1, (qq << 1) + 1
                 for idx in (l_idx, r_idx):
                     if idx not in hash_layers[-1]:
-                        hash_layers[-1][idx] = np.asarray(_take(hit, 'hash'), np.uint32)
-                layer[qq] = hash_node_(
-                    (hash_layers[-1][l_idx], hash_layers[-1][r_idx]), np.array([])
-                )
+                        hash_layers[-1][idx] = take_hash()
+                pairs.append((hash_layers[-1][l_idx], hash_layers[-1][r_idx]))
+            hashed = batch_hash(pairs, None)
+            for j, qq in enumerate(queries):
+                layer[qq] = hashed[j]
             hash_layers.append(layer)
         queries = [qq >> 1 for qq in queries]
 
-    assert next(vit, None) is None
-    assert next(hit, None) is None
+    assert vcur == values.size, "unconsumed value witness"
+    assert hcur == hw.shape[0], "unconsumed hash witness"
     assert len(hash_layers[-1]) == 1 and np.array_equal(hash_layers[-1][0], root)
 
+    hash_node_ = hash_node_fn or hash_node
     Q = len(leaf_queries)
     depth = max_log
     sib = np.zeros((Q, max(depth - 1, 0), 8), np.uint32)
@@ -320,6 +432,93 @@ def fold_line_pair(v_even, v_odd, left_idx: int, log_size: int, alpha: QM31) -> 
     f0 = q.q_add(l, r)
     f1 = q.q_mul_m31(q.q_sub(l, r), np.uint32(xinv))
     return _qm31_tuple(q.q_add(f0, q.q_mul(f1, alpha)))
+
+
+# Vectorized fold twins: one call per (proof, layer) instead of one per
+# query pair.  Bit-exact with the scalar versions above.
+
+def _bitrev_arr(idx: np.ndarray, bits: int) -> np.ndarray:
+    idx = np.asarray(idx, np.uint64)
+    r = np.zeros_like(idx)
+    for k in range(bits):
+        r |= ((idx >> np.uint64(k)) & np.uint64(1)) << np.uint64(bits - 1 - k)
+    return r
+
+
+_ORDER = 1 << 31
+
+
+def _coset_points(i_arr: np.ndarray, init_index: int, step_log: int,
+                  n_bits: int):
+    """Points at index init_index + i*2**step_log for an (N,) index array.
+
+    Only the n_bits variable bits of i are scanned (vs 31 for the generic
+    apoints_at_indices), with generator powers pre-shifted by step_log."""
+    x0, y0 = circle.point_at_index(init_index)
+    x = np.full(i_arr.shape, np.uint32(x0))
+    y = np.full(i_arr.shape, np.uint32(y0))
+    for k in range(n_bits):
+        gx, gy = circle._gen_power_of_two(k + step_log)
+        bit = ((i_arr >> np.uint64(k)) & np.uint64(1)).astype(bool)
+        nx = m31.sub(m31.mul(x, np.uint32(gx)), m31.mul(y, np.uint32(gy)))
+        ny = m31.add(m31.mul(x, np.uint32(gy)), m31.mul(y, np.uint32(gx)))
+        x = np.where(bit, nx, x)
+        y = np.where(bit, ny, y)
+    return x, y
+
+
+def _circle_domain_y(pos: np.ndarray, log_size: int) -> np.ndarray:
+    """y of CircleDomain(half_odds(log_size-1)) at bit-reversed positions."""
+    br = _bitrev_arr(pos, log_size)
+    init = circle.subgroup_gen_index(log_size + 1)
+    half = np.uint64(1 << (log_size - 1))
+    i2 = np.where(br < half, br, br - half)
+    # conjugate half: index -i has the same x and negated y
+    _, y = _coset_points(i2, init, 31 - (log_size - 1), log_size - 1)
+    return np.where(br < half, y, m31.neg(y))
+
+
+def _line_x(idx: np.ndarray, log_size: int) -> np.ndarray:
+    """x of Coset.half_odds(log_size) at bit-reversed indices."""
+    br = _bitrev_arr(idx, log_size)
+    init = circle.subgroup_gen_index(log_size + 2)
+    x, _ = _coset_points(br, init, 31 - log_size, log_size)
+    return x
+
+
+def _q_rows(rows: np.ndarray) -> QM31:
+    rows = np.asarray(rows, np.uint32)
+    return QM31(rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3])
+
+
+def _rows_of_q(x: QM31) -> np.ndarray:
+    return np.stack(
+        [np.asarray(c, np.uint32) for c in x], axis=-1
+    )
+
+
+def fold_circle_pairs(
+    v_even: np.ndarray, v_odd: np.ndarray, pos0: np.ndarray,
+    log_size: int, alpha: QM31,
+) -> np.ndarray:
+    """(N, 4) even/odd values at even positions pos0 -> (N, 4) folds."""
+    yinv = m31.inv(_circle_domain_y(pos0, log_size))
+    l, r = _q_rows(v_even), _q_rows(v_odd)
+    f0 = q.q_add(l, r)
+    f1 = q.q_mul_m31(q.q_sub(l, r), yinv)
+    return _rows_of_q(q.q_add(f0, q.q_mul(f1, alpha)))
+
+
+def fold_line_pairs(
+    v_even: np.ndarray, v_odd: np.ndarray, left_idx: np.ndarray,
+    log_size: int, alpha: QM31,
+) -> np.ndarray:
+    """(N, 4) pair values at even line indices -> (N, 4) folds."""
+    xinv = m31.inv(_line_x(left_idx, log_size))
+    l, r = _q_rows(v_even), _q_rows(v_odd)
+    f0 = q.q_add(l, r)
+    f1 = q.q_mul_m31(q.q_sub(l, r), xinv)
+    return _rows_of_q(q.q_add(f0, q.q_mul(f1, alpha)))
 
 
 # ---------------------------------------------------------------------------
@@ -439,10 +638,18 @@ def prepare(
                 alpha.a[bi : bi + 1], alpha.b[bi : bi + 1],
                 alpha.c[bi : bi + 1], alpha.d[bi : bi + 1],
             )
-            folded_evals[L] = [
-                fold_circle_pair(ve, vo, pos0, L, alpha_b)
-                for pos0, ve, vo in pairs
-            ]
+            if pairs:
+                folded_rows = fold_circle_pairs(
+                    np.array([p[1] for p in pairs], np.uint32),
+                    np.array([p[2] for p in pairs], np.uint32),
+                    np.array([p[0] for p in pairs], np.uint64),
+                    L, alpha_b,
+                )
+                folded_evals[L] = [
+                    tuple(int(x) for x in row) for row in folded_rows
+                ]
+            else:
+                folded_evals[L] = []
             for pos0, ve, vo in pairs:
                 stream.extend(ve)
                 stream.extend(vo)
@@ -482,17 +689,21 @@ def prepare(
             )
             if log_size in folded_evals_all[bi]:
                 a2 = q.q_mul(alpha_b, alpha_b)
-                for k, b_val in zip(sorted(folded), folded_evals_all[bi][log_size]):
-                    cur = q.q_scalar(*folded[k])
-                    folded[k] = _qm31_tuple(
-                        q.q_add(q.q_mul(a2, cur), q.q_scalar(*b_val))
-                    )
+                keys = sorted(folded)
+                fold_in = folded_evals_all[bi][log_size]
+                cur = _q_rows(np.array([folded[k] for k in keys], np.uint32))
+                add = _q_rows(np.array(fold_in, np.uint32))
+                mixed = _rows_of_q(q.q_add(q.q_mul(a2, cur), add))
+                folded = {
+                    k: tuple(int(x) for x in mixed[j])
+                    for j, k in enumerate(keys)
+                }
             log_size -= 1
             wit = iter(
                 tuple(int(x) for x in row) for row in layer.fri_witness
             )
-            new_folded = {}
             decommitmented = {}
+            pair_items = {}  # left_idx -> (left_v, right_v)
             for k in sorted(folded):
                 v = folded[k]
                 if (k ^ 1) in folded:
@@ -503,10 +714,19 @@ def prepare(
                 left_idx = (k >> 1) << 1
                 decommitmented[left_idx] = left_v
                 decommitmented[left_idx + 1] = right_v
-                new_folded[k >> 1] = fold_line_pair(
-                    left_v, right_v, left_idx, log_size, alpha_next_b
-                )
+                pair_items[left_idx] = (left_v, right_v)
             assert next(wit, None) is None
+            left_idxs = sorted(pair_items)
+            folded_rows = fold_line_pairs(
+                np.array([pair_items[i][0] for i in left_idxs], np.uint32),
+                np.array([pair_items[i][1] for i in left_idxs], np.uint32),
+                np.array(left_idxs, np.uint64),
+                log_size, alpha_next_b,
+            )
+            new_folded = {
+                i >> 1: tuple(int(x) for x in folded_rows[j])
+                for j, i in enumerate(left_idxs)
+            }
             stream = []
             for kk in sorted(decommitmented):
                 stream.extend(decommitmented[kk])
@@ -526,28 +746,26 @@ def prepare(
         log_size -= 1
         coeffs = [tuple(int(x) for x in row)
                   for row in proof.stark_proof.fri_proof.last_layer_poly]
-        for idx in sorted(folded):
-            px, _ = circle.Coset.half_odds(log_size).at(
-                circle.bit_reverse_index(idx, log_size)
-            )
-            doublings = []
-            x = px
-            for _ in range(len(coeffs).bit_length() - 1):
-                doublings.append(x)
-                x = (2 * x * x - 1) % 2147483647
+        idxs = sorted(folded)
+        px = _line_x(np.array(idxs, np.uint64), log_size)
+        doublings = []
+        x = px
+        for _ in range(len(coeffs).bit_length() - 1):
+            doublings.append(x)
+            x = circle.apoint_double_x(x)
 
-            def fold(vals, factors):
-                if len(vals) == 1:
-                    return q.q_scalar(*vals[0])
-                half = len(vals) // 2
-                lhs = fold(vals[:half], factors[1:])
-                rhs = fold(vals[half:], factors[1:])
-                return q.q_add(lhs, q.q_mul_m31(rhs, np.uint32(factors[0])))
+        def fold(vals, factors):
+            if len(vals) == 1:
+                return q.q_scalar(*vals[0])
+            half = len(vals) // 2
+            lhs = fold(vals[:half], factors[1:])
+            rhs = fold(vals[half:], factors[1:])
+            return q.q_add(lhs, q.q_mul_m31(rhs, factors[0]))
 
-            expected = _qm31_tuple(fold(coeffs, doublings))
-            assert folded[idx] == expected, (
-                f"last layer mismatch at {idx}: {folded[idx]} vs {expected}"
-            )
+        expected = _rows_of_q(fold(coeffs, doublings))  # (N, 4) via bcast
+        got = np.array([folded[idx] for idx in idxs], np.uint32)
+        expected = np.broadcast_to(expected, got.shape)
+        assert np.array_equal(got, expected), "last layer mismatch"
 
     inner_layer_paths = tuple(_stack_pair_paths(pp) for pp in inner_paths)
 

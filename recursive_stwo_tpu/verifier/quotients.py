@@ -81,12 +81,21 @@ def rc_power_chain(rc: QM31, n: int) -> QM31:
     """Stacked rc**k for k=0..n-1; components shaped (n,) + rc.shape."""
     xp = _xp(rc.a)
     if xp is np:
+        # doubling blocks: pows[m:2m] = pows[:m] * rc^m — O(log n) q_muls
         comps = [np.empty((n,) + rc.a.shape, np.uint32) for _ in range(4)]
-        cur = q.q_one(rc.a)
-        for k in range(n):
+        one = q.q_one(rc.a)
+        for ci in range(4):
+            comps[ci][0] = one[ci]
+        done = 1
+        block_mult = rc
+        while done < n:
+            m = min(done, n - done)
+            prefix = QM31(*(c[:m] for c in comps))
+            block = q.q_mul(prefix, block_mult)
             for ci in range(4):
-                comps[ci][k] = cur[ci]
-            cur = q.q_mul(cur, rc)
+                comps[ci][done : done + m] = block[ci]
+            done += m
+            block_mult = q.q_mul(block_mult, block_mult)
         return QM31(*comps)
     import jax
 
