@@ -90,6 +90,9 @@ def main():
     sec["recursive_16_15_proofs_per_sec"] = round(batch_r / dt2, 1)
 
     # ---- host hint preparation (per distinct proof) ----
+    from recursive_stwo_tpu.utils import native
+
+    sec["native_kernels"] = bool(native.available())
     proof, _ = load_fixture("small_proof")
     hints.prepare(spec, [proof])  # warm (native lib load, caches)
     n_prep = 5

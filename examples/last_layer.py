@@ -65,18 +65,22 @@ OUTPUT_CONFIG = PcsConfig(pow_bits=10, fri_config=FriConfig(2, 2, 16))
 
 
 def obtain_input_proof(t0):
-    """Chain level-14 output if present, else memoized standalone proof."""
+    """Chain level-14 output if present, else memoized standalone proof.
+
+    Returns (proof, inner_inputs, from_chain): with real chain output the
+    example also switches to the reference's output config
+    (last-layer/src/main.rs:96-99)."""
     # every proof produced by the verifier circuit carries the three
     # bootstrap public inputs (1,1),(2,i),(3,j) — wires 1..3 are pinned
     # (multi-proofs/src/main.rs:52-57)
     lvl14 = os.path.join(DATA, "level14-1.pkl")
     if os.path.exists(lvl14):
         with open(lvl14, "rb") as f:
-            return pickle.load(f), INPUTS3
+            return pickle.load(f), INPUTS3, True
     memo = os.path.join(DATA, "sha256p31_input.pkl")
     if os.path.exists(memo):
         with open(memo, "rb") as f:
-            return pickle.load(f), INPUTS3
+            return pickle.load(f), INPUTS3, False
     with open(os.path.join(TESTDATA, "small_proof.bin"), "rb") as f:
         base = parse_plonk_with_poseidon_proof(f.read())
     cs, _ = build_verifier_circuit(base, [(1, (1, 0, 0, 0))])
@@ -88,14 +92,20 @@ def obtain_input_proof(t0):
     os.makedirs(DATA, exist_ok=True)
     with open(memo, "wb") as f:
         pickle.dump(proof, f)
-    return proof, INPUTS3
+    return proof, INPUTS3, False
 
 
 def main():
     t0 = time.time()
-    proof, inner_inputs = obtain_input_proof(t0)
+    proof, inner_inputs, from_chain = obtain_input_proof(t0)
+    # real chain output -> the reference's output config FRI(0,9,8) pow=28
+    # (last-layer/src/main.rs:96-99); override with RSTPU_LAST_LIGHT=1
+    out_config = OUTPUT_CONFIG
+    if from_chain and not int(os.environ.get("RSTPU_LAST_LIGHT", "0")):
+        out_config = PcsConfig(pow_bits=28, fri_config=FriConfig(0, 9, 8))
     print(f"[{time.time()-t0:6.1f}s] Sha256Poseidon31 input proof: log sizes "
-          f"{proof.log_size_plonk}/{proof.log_size_poseidon}")
+          f"{proof.log_size_plonk}/{proof.log_size_poseidon}"
+          + (" (chain level 14)" if from_chain else " (standalone)"))
 
     checks = verify_sha256p31_host(proof, inner_inputs)
     failing = [k for k, v in checks.items() if not bool(np.asarray(v)[0])]
@@ -116,7 +126,7 @@ def main():
     trace = cs.generate_trace()
 
     out = prove_np(
-        trace, OUTPUT_CONFIG,
+        trace, out_config,
         progress=lambda m: print(f"[{time.time()-t0:6.1f}s]   prove: {m}"),
         channel=Sha256ProverChannel(),
         tree_cls=Sha256CommittedTree,

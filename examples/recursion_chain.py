@@ -80,10 +80,14 @@ def load_input(name):
         return pickle.load(f)
 
 
+# one id per process so re-runs of a level are distinguishable in the log
+RUN_ID = time.strftime("%Y%m%dT%H%M%S")
+
+
 def append_log(record):
     os.makedirs(os.path.dirname(LOG), exist_ok=True)
     with open(LOG, "a") as f:
-        f.write(json.dumps(record) + "\n")
+        f.write(json.dumps({"run": RUN_ID, **record}) + "\n")
 
 
 def demo_recurse(level, proof, multipliers, dest_config, sha256=False):

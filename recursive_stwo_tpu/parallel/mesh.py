@@ -112,9 +112,6 @@ def verify_shard_map(
         mesh=mesh,
         in_specs=P(axis),  # prefix spec: shard every leaf's batch axis
         out_specs=(P(axis), P()),
-        # scan carries inside the verifier are initialized from constants;
-        # skip varying-manual-axes strictness rather than pvary every init
-        check_vma=False,
     )
     ok, total_bad = jax.jit(fn)(pa)
     return ok, total_bad == 0
@@ -165,7 +162,6 @@ def verify_shard_map_2d(
         mesh=mesh,
         in_specs=P((host_ax, chip_ax)),
         out_specs=(P((host_ax, chip_ax)), P(host_ax), P()),
-        check_vma=False,
     )
     ok, per_host_bad, total_bad = jax.jit(fn)(pa)
     return ok, per_host_bad, total_bad == 0

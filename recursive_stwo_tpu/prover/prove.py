@@ -266,10 +266,14 @@ def prove(
     }
 
     # ---- composition polynomial ----
-    if device.enabled():
-        # device path: the 2^bound-domain AIR evaluation is small enough
-        # for one jit even at huge blowups (only the comp LDE is big, and
-        # that runs through the size-routed FFT below)
+    # Default HOST evaluation: the 2^bound-domain AIR program is the one
+    # device jit in this flow, and a cache-miss remote compile of the
+    # (huge, fully unrolled) Poseidon AIR costs tens of minutes on the
+    # tunneled TPU — far more than the numpy evaluation of the same
+    # 2^18-ish domain.  It also keeps chain levels entirely host-side, so
+    # the chip stays free for verification batches.  Set
+    # RSTPU_DEVICE_COMPOSITION=1 to use the device program.
+    if device.enabled() and int(os.environ.get("RSTPU_DEVICE_COMPOSITION", "0")):
         from .device_prove import _composition_coeffs_jit
 
         split_coeffs = np.asarray(
@@ -487,7 +491,10 @@ def _merge_levels(pairs) -> Dict[int, np.ndarray]:
     out: Dict[int, list] = {}
     for log, cols in pairs:
         out.setdefault(log, []).append(cols)
-    return {log: np.concatenate(parts) for log, parts in out.items()}
+    return {
+        log: parts[0] if len(parts) == 1 else np.concatenate(parts)
+        for log, parts in out.items()
+    }
 
 
 def _add_const(p4, c):
@@ -599,18 +606,21 @@ def _group_quotients(
 
     out = {}
     for g, L in enumerate(spec.all_log_sizes):
-        rows_parts = [ldes[t][L] for t in range(4) if L in ldes[t]]
-        rows = np.concatenate(rows_parts).T[None]  # (1, N, n_cols)
+        # per-column (N,) views into the LDE blocks — no transpose copy
+        col_rows = [
+            ldes[t][L][i]
+            for t in range(4)
+            if L in ldes[t]
+            for i in range(ldes[t][L].shape[0])
+        ]
         x, y = circle_fft.domain_points_bit_reversed(L)
-        dx, dyq = x[None], y[None]
         arr1 = lambda t4: QM31(  # noqa: E731
             *(np.array([int(v)], np.uint32) for v in t4)
         )
-        ans = vquot.fri_answers_for_group(
+        out[L] = vquot.fri_answers_for_group_prover(
             spec, g,
             (arr1(oods[0]), arr1(oods[1])),
             arr1(after_coeff4),
-            samples_flat, rows, dx, dyq,
+            samples_flat, col_rows, x, y,
         )
-        out[L] = QM31(*(np.asarray(c)[0] for c in ans))
     return out

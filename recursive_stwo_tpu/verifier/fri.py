@@ -95,7 +95,8 @@ def verify_fri(
 
     # ---- inner layers: one scan over layers ----
     # Stacked per-layer inputs.
-    zeros_q = q.q_zero(xp.zeros((B, Q), xp.uint32))
+    # input-derived zero keeps varying-axes metadata under check_vma
+    zeros_q = q.q_zero(raw * np.uint32(0))
     extras, flags, sib_vals, bit0s = [], [], [], []
     a_sq, a_next = [], []
     for i in range(n_inner):

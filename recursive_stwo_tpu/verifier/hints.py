@@ -104,13 +104,6 @@ def _hash_nodes_batch(
 # ---------------------------------------------------------------------------
 
 
-def _take(it, what: str):
-    """next(it) with witness exhaustion reported as a clean rejection."""
-    try:
-        return next(it)
-    except StopIteration:
-        raise AssertionError(f"{what} witness exhausted (corrupted proof?)")
-
 def expand_single_paths(
     max_log: int,
     raw_queries: List[int],

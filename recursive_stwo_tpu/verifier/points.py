@@ -88,8 +88,11 @@ def half_index_points(
     qmax = raw_queries & np.uint32((1 << M) - 1)
 
     coset = Coset.half_odds(M)
-    x = xp.full(qmax.shape, np.uint32(coset.initial[0]))
-    y = xp.full(qmax.shape, np.uint32(coset.initial[1]))
+    # derive from qmax (not a fresh constant) so varying-axes metadata
+    # survives shard_map check_vma through the scans below
+    zero = qmax * np.uint32(0)
+    x = zero + np.uint32(coset.initial[0])
+    y = zero + np.uint32(coset.initial[1])
 
     # A_M = initial + sum_{k=1}^{M-1} bit_k * point(2**(30-k))
     consts = np.array(

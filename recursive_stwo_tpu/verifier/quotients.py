@@ -186,6 +186,111 @@ def _q_bcast_scalar(x: QM31, like) -> QM31:
     return QM31(*(like * 0 + comp for comp in x))
 
 
+def _modsum_cols(col_rows, idxs: np.ndarray, Cq: QM31) -> QM31:
+    """sum_c Cq[c] * col_rows[idxs[c]] mod P, all 4 QM31 components in one
+    float64 dgemm per 32-column chunk.
+
+    Coefficients are split into 16-bit halves and columns are chunked so
+    every partial dot stays below 2^53 (exact in float64):
+    32 cols x (2^31 * 2^16) = 2^52.  col_rows entries are (N,) views into
+    the original LDE blocks — no (N, C) transpose materialization."""
+    N = col_rows[idxs[0]].size
+    acc = [np.zeros(N, np.int64) for _ in range(4)]
+    C = len(idxs)
+    for c0 in range(0, C, 32):
+        pos = np.arange(c0, min(c0 + 32, C))
+        chunk = np.empty((len(pos), N), np.float64)
+        for j, p in enumerate(pos):
+            chunk[j] = col_rows[idxs[p]]
+        co = np.stack([np.asarray(comp)[pos] for comp in Cq])  # (4, k)
+        M = np.concatenate(
+            [co & np.uint32(0xFFFF), co >> np.uint32(16)]
+        ).astype(np.float64)  # (8, k)
+        R = M @ chunk  # (8, N) dgemm
+        for ci in range(4):
+            acc[ci] = (
+                acc[ci]
+                + R[ci].astype(np.int64) % P
+                + ((R[ci + 4].astype(np.int64) % P) << 16)
+            ) % P
+    return QM31(*(a.astype(np.uint32) for a in acc))
+
+
+def fri_answers_for_group_prover(
+    spec: VerifierSpec,
+    g: int,
+    oods: Tuple[QM31, QM31],
+    random_coeff: QM31,
+    samples_flat: np.ndarray,
+    queried_rows: np.ndarray,
+    dom_x: np.ndarray,
+    dom_y: np.ndarray,
+) -> QM31:
+    """Host-prover quotient evaluation over a FULL commitment domain.
+
+    Same math as fri_answers_for_group with B=1, restructured for the
+    prover flow: the per-column line coefficients are scalars there, so
+    the numerator collapses to one modular matvec per sample batch
+    (sum_c Cq_c*val_c - (sum_c A_c)*y - sum_c B_c) and rides BLAS
+    instead of C vectorized passes over the 2^23+-point domain.
+    queried_rows: list of per-column (N,) arrays (views into the LDE
+    blocks), dom_x/dom_y (N,); returns QM31 of (N,)."""
+    batches = group_batches(spec, g)
+    n_total = sum(len(cols) for _, cols in batches)
+    rc_powers = rc_power_chain(random_coeff, n_total)
+
+    neg2u = QM31(np.uint32(0), np.uint32(0), np.uint32(P - 2), np.uint32(0))
+
+    acc = q.q_zero(dom_x)
+    k = 0
+    for (shift, tlog), cols in batches:
+        point = (
+            oods if shift == 0 else points_mod.shifted_oods_point(oods, shift, tlog)
+        )
+        px, py = point
+        C = len(cols)
+        local_idx = np.array([c for c, _ in cols], np.int64)
+        sample_idx = np.array([s for _, s in cols], np.int64)
+
+        sv = samples_flat[0, sample_idx]  # (C, 4)
+        v0 = CM31(sv[:, 0], sv[:, 1])
+        v1 = CM31(sv[:, 2], sv[:, 3])
+        y0 = CM31(py.a, py.b)  # scalar-shaped (1,)
+        y1 = CM31(py.c, py.d)
+
+        apow = QM31(*(comp[k : k + C, 0] for comp in rc_powers))  # (C,)
+        alpha = q.q_mul(apow, _q_bcast_scalar(neg2u, apow.a))
+        k += C
+
+        a_c = v1
+        c_c = CM31(y1.re + 0 * v1.re, y1.im + 0 * v1.im)
+        b_c = q.c_sub(q.c_mul(v0, y1), q.c_mul(v1, y0))
+        A = q.q_mul_cm31(alpha, a_c)  # (C,)
+        Bq = q.q_mul_cm31(alpha, b_c)
+        Cq = q.q_mul_cm31(alpha, c_c)
+
+        # numerator = (sum Cq_c * val_c) - (sum A_c)*y - sum B_c
+        dot = _modsum_cols(queried_rows, local_idx, Cq)
+        A_sum = QM31(*(
+            np.uint32(comp.astype(np.int64).sum() % P) for comp in A
+        ))
+        B_sum = QM31(*(
+            np.uint32(comp.astype(np.int64).sum() % P) for comp in Bq
+        ))
+        y_term = q.q_mul_m31(_q_bcast_scalar(A_sum, dom_y), dom_y)
+        numerator = q.q_sub(dot, q.q_add(y_term, _q_bcast_scalar(B_sum, dom_y)))
+
+        # denominator inverse (CM31 over (N,))
+        prx, pix = CM31(px.a, px.b), CM31(px.c, px.d)
+        pry, piy = CM31(py.a, py.b), CM31(py.c, py.d)
+        ta = q.c_mul(CM31(m31.sub(prx.re, dom_x), prx.im + 0 * dom_x), piy)
+        tb = q.c_mul(CM31(m31.sub(pry.re, dom_y), pry.im + 0 * dom_y), pix)
+        denom_inv = q.c_inv(q.c_sub(ta, tb))
+
+        acc = q.q_add(acc, q.q_mul_cm31(numerator, denom_inv))
+    return acc
+
+
 def total_rc_powers(spec: VerifierSpec) -> int:
     return max(
         sum(len(cols) for _, cols in group_batches(spec, g))

@@ -116,7 +116,9 @@ def digest_chain(operands):
         new = poseidon2.permute(state)[..., 8:]
         return new, new
 
-    _, ys = jax.lax.scan(body, xp.zeros((B, 8), xp.uint32), ops_t)
+    # init derived from the input so its sharding/varying-axes metadata
+    # propagates (a plain zeros constant breaks shard_map check_vma)
+    _, ys = jax.lax.scan(body, ops_t[0] * xp.uint32(0), ops_t)
     return ys
 
 

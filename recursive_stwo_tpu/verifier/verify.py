@@ -127,8 +127,9 @@ def fold_phase(spec, pa, fs, oods, xp):
 
 
 def hash_phase(spec, pa, fs, pair_jobs, xp):
-    """All Merkle hashing: one absorb scan + one leaf batch + two walk
-    scans (hashplan.py); yields the tree0-3 and FRI-layer root checks."""
+    """All Merkle hashing: one packed absorb scan + one leaf batch + one
+    packed walk scan (hashplan.py); yields the tree0-3 and FRI-layer root
+    checks."""
     checks = {}
     chains = []
     chain_idx = {}
@@ -145,7 +146,7 @@ def hash_phase(spec, pa, fs, pair_jobs, xp):
             add_chain(("self", j, L), job["self_columns"][L])
             add_chain(("sib", j, L), job["sibling_columns"][L])
 
-    digests = hashplan.absorb_many(chains)
+    digests = hashplan.absorb_packed(chains)
 
     def dig(key):
         return digests[chain_idx[key]]
@@ -174,10 +175,6 @@ def hash_phase(spec, pa, fs, pair_jobs, xp):
                 root=pa.commitments[:, t],
             )
         )
-    oks = hashplan.single_walks(single)
-    for t in range(4):
-        checks[f"tree{t}"] = oks[t]
-
     pairs = []
     for j, job in enumerate(pair_jobs):
         d = job["depth"]
@@ -197,7 +194,9 @@ def hash_phase(spec, pa, fs, pair_jobs, xp):
                 root=job["root"],
             )
         )
-    poks = hashplan.pair_walks(pairs)
+    oks, poks = hashplan.walk_scan(single, pairs)
+    for t in range(4):
+        checks[f"tree{t}"] = oks[t]
     for j, job in enumerate(pair_jobs):
         checks[f"fri_{job['kind']}"] = poks[j]
 

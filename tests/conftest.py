@@ -35,3 +35,12 @@ def cpu_devices():
 def _default_cpu():
     with jax.default_device(jax.devices("cpu")[0]):
         yield
+
+
+def pytest_configure(config):
+    # two CI tiers (VERDICT r2 #10): fast = fields/poseidon/cs/verifier/
+    # gadgets/serialize (`-m "not slow"`, ~2 min warm); slow = prover/
+    # recursion/mesh/flavor round-trips (nightly-style).
+    config.addinivalue_line(
+        "markers", "slow: heavy prover/recursion/mesh tier"
+    )

@@ -15,6 +15,8 @@ from recursive_stwo_tpu.prover.prove import (
     _sample_columns_host,
 )
 
+pytestmark = pytest.mark.slow
+
 P = (1 << 31) - 1
 rng = np.random.default_rng(7)
 

@@ -17,6 +17,10 @@ from recursive_stwo_tpu.proof.parse import parse_plonk_with_poseidon_proof
 from recursive_stwo_tpu.verifier import hints, verify
 from recursive_stwo_tpu.verifier.spec import VerifierSpec
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 FIXTURES = "/root/reference/components/test_data"
 N_DEV = 8
 

@@ -18,6 +18,10 @@ from recursive_stwo_tpu.prover.prove import prove
 from recursive_stwo_tpu.verifier import hints, verify
 from recursive_stwo_tpu.verifier.spec import VerifierSpec
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 P = (1 << 31) - 1
 INPUTS3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
 

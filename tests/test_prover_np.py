@@ -16,6 +16,10 @@ from recursive_stwo_tpu.verifier.spec import NoPoseidonVerifierSpec
 from recursive_stwo_tpu.verifier.verify import INPUTS_RECURSIVE
 from recursive_stwo_tpu.verifier.verify_np import verify_batch_np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 CONFIG = PcsConfig(
     pow_bits=5,
     fri_config=FriConfig(

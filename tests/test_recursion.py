@@ -8,6 +8,10 @@ import pytest
 from recursive_stwo_tpu.models.flagship import load_fixture
 from recursive_stwo_tpu.recursion.pipeline import build_verifier_circuit
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def small_circuit():

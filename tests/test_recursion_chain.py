@@ -18,6 +18,10 @@ from recursive_stwo_tpu.recursion.pipeline import build_verifier_circuit
 from recursive_stwo_tpu.verifier import hints, verify
 from recursive_stwo_tpu.verifier.spec import VerifierSpec
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 FIXTURES = "/root/reference/components/test_data"
 INPUTS_ONE = ((1, (1, 0, 0, 0)),)
 INPUTS3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))

@@ -23,6 +23,10 @@ from recursive_stwo_tpu.prover.prove_sha256 import (
 from recursive_stwo_tpu.verifier import hints, sha256_merkle
 from recursive_stwo_tpu.verifier.verify_sha256 import verify_sha256p31_host
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 P = (1 << 31) - 1
 INPUTS3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
 
