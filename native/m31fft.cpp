@@ -93,6 +93,33 @@ void m31_fft_interpolate(uint32_t* v, uint64_t rows, uint64_t n,
 
 extern "C" {
 
+// Batch modular inverse a^(p-2) via the same 37-mul addition chain as
+// core/m31.py::inv (numpy path) — one read + one write per element
+// instead of ~37 full-array numpy passes.
+void m31_inv_batch(const uint32_t* a, uint64_t n, uint32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < (int64_t)n; i++) {
+        uint32_t x = a[i];
+        uint32_t s = m31_mul(x, x);
+        s = m31_mul(s, s);
+        uint32_t t0 = m31_mul(s, x);                       // x^5
+        uint32_t t1 = m31_mul(m31_mul(t0, t0), t0);        // x^15
+        uint32_t t2 = t1;
+        for (int k = 0; k < 3; k++) t2 = m31_mul(t2, t2);
+        t2 = m31_mul(t2, t0);                              // x^125
+        uint32_t t3 = m31_mul(m31_mul(t2, t2), t0);        // x^255
+        uint32_t t4 = t3;
+        for (int k = 0; k < 8; k++) t4 = m31_mul(t4, t4);
+        t4 = m31_mul(t4, t3);                              // x^65535
+        uint32_t t5 = t4;
+        for (int k = 0; k < 8; k++) t5 = m31_mul(t5, t5);
+        t5 = m31_mul(t5, t3);                              // x^16777215
+        uint32_t r = t5;
+        for (int k = 0; k < 7; k++) r = m31_mul(r, r);
+        out[i] = m31_mul(r, t2);                           // x^(p-2)
+    }
+}
+
 // Vectorized circle point_at_index: for each idx, multiply together the
 // generator powers selected by idx's bits (mirror of
 // core/circle.apoints_at_indices).  gx/gy: 31 generator-power coordinates.

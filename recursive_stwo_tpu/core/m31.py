@@ -120,6 +120,11 @@ def inv(a):
     (tiny traced program); numpy path: short addition chain (~37 muls)."""
     if type(a).__module__.startswith("jax"):
         return _inv_jax(a)
+    if isinstance(a, np.ndarray) and a.size >= (1 << 13):
+        from ..utils import native
+
+        if native.fft_available():
+            return native.m31_inv_batch(a)
     t0 = mul(pow2k(a, 2), a)   # a**5
     t1 = mul(pow2k(t0, 1), t0)  # a**15
     t2 = mul(pow2k(t1, 3), t0)  # a**125

@@ -257,6 +257,21 @@ def fft_available() -> bool:
     return _load_fft() is not None
 
 
+def m31_inv_batch(a: np.ndarray) -> np.ndarray:
+    """Elementwise a^(p-2) mod P (bit-exact with core/m31.inv numpy)."""
+    lib = _load_fft()
+    assert lib is not None
+    if not hasattr(lib, "_inv_sig"):
+        lib.m31_inv_batch.argtypes = [_u32p, ctypes.c_uint64, _u32p]
+        lib._inv_sig = True
+    flat = np.ascontiguousarray(a, np.uint32)
+    out = np.empty(flat.shape, np.uint32)
+    lib.m31_inv_batch(
+        flat.ctypes.data_as(_u32p), flat.size, out.ctypes.data_as(_u32p)
+    )
+    return out
+
+
 def _twiddle_blob(tw_list):
     off = np.zeros(len(tw_list), np.uint64)
     pos = 0
