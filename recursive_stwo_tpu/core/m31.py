@@ -72,6 +72,16 @@ def reduce_once(t):
 def mul(a, b):
     """(a * b) mod p via 16-bit limbs; all intermediates fit in uint32."""
     a, b = _as_u32(a), _as_u32(b)
+    if (
+        isinstance(a, np.ndarray)
+        and isinstance(b, np.ndarray)
+        and a.shape == b.shape
+        and a.size >= (1 << 15)
+    ):
+        from ..utils import native
+
+        if native.fft_available():
+            return native.m31_mul_batch(a, b)
     a0 = a & MASK16
     a1 = a >> np.uint32(16)  # < 2**15
     b0 = b & MASK16

@@ -257,6 +257,25 @@ def fft_available() -> bool:
     return _load_fft() is not None
 
 
+def m31_mul_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise (a*b) mod P for same-shape uint32 arrays."""
+    lib = _load_fft()
+    assert lib is not None
+    if not hasattr(lib, "_mul_sig"):
+        lib.m31_mul_batch.argtypes = [
+            _u32p, _u32p, ctypes.c_uint64, _u32p
+        ]
+        lib._mul_sig = True
+    fa = np.ascontiguousarray(a, np.uint32)
+    fb = np.ascontiguousarray(b, np.uint32)
+    out = np.empty(fa.shape, np.uint32)
+    lib.m31_mul_batch(
+        fa.ctypes.data_as(_u32p), fb.ctypes.data_as(_u32p),
+        fa.size, out.ctypes.data_as(_u32p),
+    )
+    return out
+
+
 def m31_inv_batch(a: np.ndarray) -> np.ndarray:
     """Elementwise a^(p-2) mod P (bit-exact with core/m31.inv numpy)."""
     lib = _load_fft()
