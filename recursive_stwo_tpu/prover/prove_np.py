@@ -107,20 +107,23 @@ def _group_quotients_np(spec, sampled_values, after_coeff4, oods, shifted,
 
     out = {}
     for g, L in enumerate(spec.all_log_sizes):
-        rows_parts = [ldes[t][L] for t in range(4) if L in ldes[t]]
-        rows = np.concatenate(rows_parts).T[None]
+        # per-column (N,) views; BLAS matvec path (see quotients.py)
+        col_rows = [
+            ldes[t][L][i]
+            for t in range(4)
+            if L in ldes[t]
+            for i in range(ldes[t][L].shape[0])
+        ]
         x, y = circle_fft.domain_points_bit_reversed(L)
-        dx, dyq = x[None], y[None]
         arr1 = lambda t4: QM31(  # noqa: E731
             *(np.array([int(v)], np.uint32) for v in t4)
         )
-        ans = vquot.fri_answers_for_group(
+        out[L] = vquot.fri_answers_for_group_prover(
             spec, g,
             (arr1(oods[0]), arr1(oods[1])),
             arr1(after_coeff4),
-            samples_flat, rows, dx, dyq,
+            samples_flat, col_rows, x, y,
         )
-        out[L] = QM31(*(np.asarray(c)[0] for c in ans))
     return out
 
 
