@@ -128,6 +128,18 @@ void m31_mul_batch(const uint32_t* a, const uint32_t* b, uint64_t n,
     for (int64_t i = 0; i < (int64_t)n; i++) out[i] = m31_mul(a[i], b[i]);
 }
 
+void m31_add_batch(const uint32_t* a, const uint32_t* b, uint64_t n,
+                   uint32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < (int64_t)n; i++) out[i] = m31_add(a[i], b[i]);
+}
+
+void m31_sub_batch(const uint32_t* a, const uint32_t* b, uint64_t n,
+                   uint32_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < (int64_t)n; i++) out[i] = m31_sub(a[i], b[i]);
+}
+
 // Vectorized circle point_at_index: for each idx, multiply together the
 // generator powers selected by idx's bits (mirror of
 // core/circle.apoints_at_indices).  gx/gy: 31 generator-power coordinates.

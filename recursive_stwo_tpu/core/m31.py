@@ -34,8 +34,27 @@ def _as_u32(x):
     return x
 
 
+def _native_binop(a, b, name):
+    """Route large same-shape numpy pairs to the one-pass C kernel."""
+    if (
+        isinstance(a, np.ndarray)
+        and isinstance(b, np.ndarray)
+        and a.shape == b.shape
+        and a.size >= (1 << 15)
+        and not type(a).__module__.startswith("jax")
+    ):
+        from ..utils import native
+
+        if native.fft_available():
+            return getattr(native, name)(a, b)
+    return None
+
+
 def add(a, b):
     """(a + b) mod p.  a, b in [0, p) => a+b < 2**32 with no wrap issues."""
+    out = _native_binop(a, b, "m31_add_batch")
+    if out is not None:
+        return out
     return reduce_once(_as_u32(a) + _as_u32(b))
 
 
@@ -45,6 +64,9 @@ def neg(a):
 
 
 def sub(a, b):
+    out = _native_binop(a, b, "m31_sub_batch")
+    if out is not None:
+        return out
     # a + (p - b), both summands < 2**31 so the uint32 sum cannot wrap.
     s = _as_u32(a) + (P - _as_u32(b))
     s = (s & MASK31) + (s >> np.uint32(31))

@@ -257,23 +257,34 @@ def fft_available() -> bool:
     return _load_fft() is not None
 
 
-def m31_mul_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Elementwise (a*b) mod P for same-shape uint32 arrays."""
+def _binop(fn_name: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     lib = _load_fft()
     assert lib is not None
-    if not hasattr(lib, "_mul_sig"):
-        lib.m31_mul_batch.argtypes = [
-            _u32p, _u32p, ctypes.c_uint64, _u32p
-        ]
-        lib._mul_sig = True
+    fn = getattr(lib, fn_name)
+    if not getattr(lib, "_" + fn_name + "_sig", False):
+        fn.argtypes = [_u32p, _u32p, ctypes.c_uint64, _u32p]
+        setattr(lib, "_" + fn_name + "_sig", True)
     fa = np.ascontiguousarray(a, np.uint32)
     fb = np.ascontiguousarray(b, np.uint32)
     out = np.empty(fa.shape, np.uint32)
-    lib.m31_mul_batch(
+    fn(
         fa.ctypes.data_as(_u32p), fb.ctypes.data_as(_u32p),
         fa.size, out.ctypes.data_as(_u32p),
     )
     return out
+
+
+def m31_mul_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise (a*b) mod P for same-shape uint32 arrays."""
+    return _binop("m31_mul_batch", a, b)
+
+
+def m31_add_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return _binop("m31_add_batch", a, b)
+
+
+def m31_sub_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return _binop("m31_sub_batch", a, b)
 
 
 def m31_inv_batch(a: np.ndarray) -> np.ndarray:

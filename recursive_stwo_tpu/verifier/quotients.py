@@ -197,6 +197,13 @@ def _modsum_cols(col_rows, idxs: np.ndarray, Cq: QM31) -> QM31:
     N = col_rows[idxs[0]].size
     acc = [np.zeros(N, np.int64) for _ in range(4)]
     C = len(idxs)
+
+    def fold(t):
+        """int64 in [0, 2^53) -> [0, P) via 2^31 == 1 folds (no division)."""
+        t = (t & P) + (t >> 31)
+        t = (t & P) + (t >> 31)
+        return t - (t >= P) * P
+
     for c0 in range(0, C, 32):
         pos = np.arange(c0, min(c0 + 32, C))
         chunk = np.empty((len(pos), N), np.float64)
@@ -208,11 +215,11 @@ def _modsum_cols(col_rows, idxs: np.ndarray, Cq: QM31) -> QM31:
         ).astype(np.float64)  # (8, k)
         R = M @ chunk  # (8, N) dgemm
         for ci in range(4):
-            acc[ci] = (
+            acc[ci] = fold(
                 acc[ci]
-                + R[ci].astype(np.int64) % P
-                + ((R[ci + 4].astype(np.int64) % P) << 16)
-            ) % P
+                + fold(R[ci].astype(np.int64))
+                + (fold(R[ci + 4].astype(np.int64)) << 16)
+            )
     return QM31(*(a.astype(np.uint32) for a in acc))
 
 
