@@ -94,6 +94,17 @@ def reduce_once(t):
 def mul(a, b):
     """(a * b) mod p via 16-bit limbs; all intermediates fit in uint32."""
     a, b = _as_u32(a), _as_u32(b)
+    if (isinstance(a, np.ndarray) or isinstance(b, np.ndarray)) and not (
+        type(a).__module__.startswith("jax")
+        or type(b).__module__.startswith("jax")
+    ):
+        size = a.size if isinstance(a, np.ndarray) else b.size
+        if size <= (1 << 10):
+            # small arrays are numpy-call-overhead bound: one u64 widening
+            # product + one division beats ~15 limb-split ops
+            return (
+                (np.asarray(a, np.uint64) * np.asarray(b, np.uint64)) % P
+            ).astype(np.uint32)
     if (
         isinstance(a, np.ndarray)
         and isinstance(b, np.ndarray)

@@ -68,36 +68,16 @@ N_MULS_PER_PERM = 426 * 4
 N_CHEAP_PER_PERM = 1360 * 4 + 426 * 26 + 14 * 15 * 4
 
 
-def _vpu_rate(op, n=1 << 20, K=64, S=8, ops_per_iter=1):
-    """Throughput of one elementwise op class.
-
-    S INDEPENDENT streams are advanced in lockstep so the ALU pipeline
-    stays full; a single K-deep dependent chain measures op latency, not
-    throughput, and yields a bogus >1 fraction-of-light (VERDICT r2 #3)."""
-    base = jnp.arange(n, dtype=jnp.uint32) | jnp.uint32(1)
-    xs = tuple(base + jnp.uint32(i) for i in range(S))
-
-    @jax.jit
-    def chain(xs):
-        xs = list(xs)
-        for _ in range(K):
-            xs = [op(x) for x in xs]
-        out = xs[0]
-        for x in xs[1:]:
-            out = out ^ x
-        return out
-
-    dt = _time(chain, xs, reps=5)
-    return n * K * S * ops_per_iter / dt
-
-
-def vpu_ceilings():
-    mul_rate = _vpu_rate(lambda x: x * x, ops_per_iter=1)
-    cheap_rate = _vpu_rate(
-        lambda x: (x + jnp.uint32(0x9E3779B9)) ^ (x >> jnp.uint32(1)),
-        ops_per_iter=3,
-    )
-    return mul_rate, cheap_rate
+# Analytic VPU peak for the roofline.  Micro-measured elementwise
+# ceilings proved unusable both ways: a K-deep dependent chain measures
+# op LATENCY (r2: fraction_of_sol > 1), and multi-stream chains get
+# restructured by XLA fusion into something memory-shaped (fraction 12x
+# too small).  The v5e TensorCore has 4 VPUs of (8, 128) lanes at
+# ~940 MHz => ~3.85e12 32-bit vector ops/s.  Counting every u32 multiply
+# as ONE issue slot is conservative (integer multiplies cost >= 1 slot),
+# so the resulting speed-of-light is an upper bound and the reported
+# fraction a lower bound.
+VPU_PEAK_OPS_PER_SEC = 4 * 8 * 128 * 940e6
 
 
 def main():
@@ -183,14 +163,13 @@ def main():
     pfn = jax.jit(poseidon2.permute)
     dt = _time(pfn, states, reps=args.reps)
     perms = n_states / dt
-    mul_rate, cheap_rate = vpu_ceilings()
-    sol = 1.0 / (N_MULS_PER_PERM / mul_rate + N_CHEAP_PER_PERM / cheap_rate)
+    ops_per_perm = N_MULS_PER_PERM + N_CHEAP_PER_PERM
+    sol = VPU_PEAK_OPS_PER_SEC / ops_per_perm
     out["poseidon"] = {
         "perms_per_sec": round(perms),
         "u32_muls_per_perm": N_MULS_PER_PERM,
         "cheap_ops_per_perm": N_CHEAP_PER_PERM,
-        "vpu_u32_mul_per_sec": round(mul_rate),
-        "vpu_cheap_ops_per_sec": round(cheap_rate),
+        "vpu_peak_ops_per_sec": round(VPU_PEAK_OPS_PER_SEC),
         "speed_of_light_perms_per_sec": round(sol),
         "fraction_of_sol": round(perms / sol, 3),
     }
