@@ -189,9 +189,12 @@ def main():
             serialize_plonk_with_poseidon_proof,
         )
 
+        # SHA-256 flavors carry full-range 32-bit digest words (or raw
+        # bytes); Poseidon31 roots are always canonical M31 limbs
+        roots = np.asarray(aggregate.stark_proof.commitments)
         mode = (
             "bytes32"
-            if np.asarray(aggregate.stark_proof.commitments[0]).dtype == np.uint8
+            if roots.dtype == np.uint8 or (roots >= (1 << 31) - 1).any()
             else "m31x8"
         )
         bin_path = out_path.replace(".pkl", ".bin")

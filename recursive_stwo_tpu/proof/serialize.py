@@ -41,8 +41,17 @@ class Writer:
     def hash8(self, h: np.ndarray):
         h = np.asarray(h)
         if self.hash_mode == "bytes32":
-            assert h.dtype == np.uint8 and h.size == 32
-            self.parts.append(h.tobytes())
+            if h.dtype == np.uint8:
+                assert h.size == 32
+                self.parts.append(h.tobytes())
+            else:
+                # SHA-256 digests held as 8 uint32 words (the framework's
+                # sha flavor, verifier/sha256_merkle.py) -> 32 big-endian
+                # bytes, the reference's on-disk convention
+                assert h.size == 8
+                self.parts.append(
+                    np.ascontiguousarray(h, dtype=">u4").tobytes()
+                )
         else:
             assert h.size == 8
             self.u32_array(h)
