@@ -56,7 +56,11 @@ def demo_recurse(proof, multipliers: int, inputs, dest_config: PcsConfig):
     print(f"[{time.time()-t0:7.1f}s] finalized: {len(cs.a_wire)} rows, "
           f"{len(cs.flow_wires)} poseidon invocations")
 
-    aggregate = prove(cs.generate_trace(), dest_config)
+    aggregate = prove(
+        cs.generate_trace(), dest_config,
+        progress=lambda m: print(f"[{time.time()-t0:7.1f}s]   prove: {m}",
+                                 flush=True),
+    )
     print(f"[{time.time()-t0:7.1f}s] aggregate proof: log sizes "
           f"{aggregate.log_size_plonk}/{aggregate.log_size_poseidon}")
 
