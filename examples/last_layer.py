@@ -136,6 +136,14 @@ def main():
     os.makedirs(DATA, exist_ok=True)
     with open(os.path.join(DATA, "bitcoin_proof.pkl"), "wb") as f:
         pickle.dump(out, f)
+    # reference-compatible bincode (last-layer/src/main.rs:196-200);
+    # SHA-256 digest words -> 32-byte hashes
+    from recursive_stwo_tpu.proof.serialize import (
+        serialize_plonk_without_poseidon_proof,
+    )
+
+    with open(os.path.join(DATA, "bitcoin_proof.bin"), "wb") as f:
+        f.write(serialize_plonk_without_poseidon_proof(out, "bytes32"))
 
     inputs = tuple(
         (i + 1, tuple(int(x) for x in cs.value(i + 1)))

@@ -129,6 +129,39 @@ def parse_plonk_with_poseidon_proof(
     plonk_total_sum = r.m31_array(4)
     poseidon_total_sum = r.m31_array(4)
 
+    config, stark_proof = _read_config_and_stark(r)
+    assert r.done(), f"{len(data) - r.pos} trailing bytes"
+
+    return PlonkWithPoseidonProof(
+        log_size_plonk=log_size_plonk,
+        log_size_poseidon=log_size_poseidon,
+        plonk_total_sum=plonk_total_sum,
+        poseidon_total_sum=poseidon_total_sum,
+        config=config,
+        stark_proof=stark_proof,
+    )
+
+
+def parse_plonk_without_poseidon_proof(data: bytes, hash_mode: str = "m31x8"):
+    """Single-table last-layer proof (the reference's bitcoin_proof.bin):
+    stmt0 { log_size }, stmt1 { total_sum }, CommitmentSchemeProof."""
+    from .containers import PlonkWithoutPoseidonProof
+
+    r = Reader(data, hash_mode)
+    log_size = r.u32()
+    assert 1 <= log_size < 32, log_size
+    total_sum = r.m31_array(4)
+    config, stark_proof = _read_config_and_stark(r)
+    assert r.done(), f"{len(data) - r.pos} trailing bytes"
+    return PlonkWithoutPoseidonProof(
+        log_size=log_size,
+        total_sum=total_sum,
+        config=config,
+        stark_proof=stark_proof,
+    )
+
+
+def _read_config_and_stark(r: Reader):
     # CommitmentSchemeProof.config: PcsConfig { pow_bits, FriConfig {
     #   log_blowup_factor, log_last_layer_degree_bound, n_queries: u64 } }
     pow_bits = r.u32()
@@ -179,25 +212,16 @@ def parse_plonk_with_poseidon_proof(
         len(last_layer_poly),
     )
 
-    assert r.done(), f"{len(data) - r.pos} trailing bytes"
-
-    return PlonkWithPoseidonProof(
-        log_size_plonk=log_size_plonk,
-        log_size_poseidon=log_size_poseidon,
-        plonk_total_sum=plonk_total_sum,
-        poseidon_total_sum=poseidon_total_sum,
-        config=config,
-        stark_proof=StarkProof(
-            commitments=commitments,
-            sampled_values=sampled_values,
-            decommitments=decommitments,
-            queried_values=queried_values,
-            proof_of_work=proof_of_work,
-            fri_proof=FriProof(
-                first_layer=first_layer,
-                inner_layers=inner_layers,
-                last_layer_poly=last_layer_poly,
-                last_layer_log_size=last_layer_log_size,
-            ),
+    return config, StarkProof(
+        commitments=commitments,
+        sampled_values=sampled_values,
+        decommitments=decommitments,
+        queried_values=queried_values,
+        proof_of_work=proof_of_work,
+        fri_proof=FriProof(
+            first_layer=first_layer,
+            inner_layers=inner_layers,
+            last_layer_poly=last_layer_poly,
+            last_layer_log_size=last_layer_log_size,
         ),
     )

@@ -90,13 +90,29 @@ def serialize_plonk_with_poseidon_proof(
     w.u32(proof.log_size_poseidon)
     w.u32_array(np.asarray(proof.plonk_total_sum, np.uint32).reshape(4))
     w.u32_array(np.asarray(proof.poseidon_total_sum, np.uint32).reshape(4))
+    _write_stark_proof(w, proof.config, proof.stark_proof)
+    return w.bytes_out()
 
-    w.u32(proof.config.pow_bits)
-    w.u32(proof.config.fri_config.log_blowup_factor)
-    w.u32(proof.config.fri_config.log_last_layer_degree_bound)
-    w.u64(proof.config.fri_config.n_queries)
 
-    sp = proof.stark_proof
+def serialize_plonk_without_poseidon_proof(
+    proof, hash_mode: str = "m31x8"
+) -> bytes:
+    """Bincode writer for the single-table last-layer proof (the
+    reference's bitcoin_proof.bin, last-layer/src/main.rs:196-200):
+    stmt0 { log_size }, stmt1 { total_sum }, then the same
+    CommitmentSchemeProof layout as the with-poseidon flavor."""
+    w = Writer(hash_mode)
+    w.u32(proof.log_size)
+    w.u32_array(np.asarray(proof.total_sum, np.uint32).reshape(4))
+    _write_stark_proof(w, proof.config, proof.stark_proof)
+    return w.bytes_out()
+
+
+def _write_stark_proof(w: Writer, config, sp):
+    w.u32(config.pow_bits)
+    w.u32(config.fri_config.log_blowup_factor)
+    w.u32(config.fri_config.log_last_layer_degree_bound)
+    w.u64(config.fri_config.n_queries)
     w.u64(len(sp.commitments))
     w.hash_array(sp.commitments)
 
@@ -125,4 +141,3 @@ def serialize_plonk_with_poseidon_proof(
         _write_fri_layer(w, layer)
     w.qm31_vec(fp.last_layer_poly)
     w.u32(fp.last_layer_log_size)
-    return w.bytes_out()

@@ -64,3 +64,39 @@ def test_parse_of_serialized_prover_output():
         again.stark_proof.fri_proof.last_layer_poly,
         proof.stark_proof.fri_proof.last_layer_poly,
     )
+
+
+def test_without_poseidon_roundtrip():
+    """Self-consistent bincode for the last-layer (without-poseidon)
+    proof: a tiny prove_np proof survives serialize -> parse -> serialize
+    byte-identically (the reference's bitcoin_proof.bin format,
+    last-layer/src/main.rs:196-200)."""
+    import numpy as np
+
+    from recursive_stwo_tpu.cs.system import Mode, PlonkWithoutPoseidonCS
+    from recursive_stwo_tpu.proof.containers import FriConfig, PcsConfig
+    from recursive_stwo_tpu.proof.serialize import (
+        serialize_plonk_without_poseidon_proof,
+    )
+    from recursive_stwo_tpu.proof.parse import (
+        parse_plonk_without_poseidon_proof,
+    )
+    from recursive_stwo_tpu.prover.prove_np import prove_np
+
+    cs = PlonkWithoutPoseidonCS()
+    a = cs.new_qm31((5, 0, 0, 0), Mode.PUBLIC_INPUT)
+    b = cs.new_qm31((7, 0, 0, 0), Mode.WITNESS)
+    c = cs.mul(a, b)
+    cs.mul(c, c)
+    cs.pad()
+    cs.check_arithmetics()
+    cs.populate_logup_arguments()
+    proof = prove_np(
+        cs.generate_trace(),
+        PcsConfig(pow_bits=5, fri_config=FriConfig(1, 1, 4)),
+    )
+    data = serialize_plonk_without_poseidon_proof(proof)
+    again = parse_plonk_without_poseidon_proof(data)
+    assert again.log_size == proof.log_size
+    assert np.array_equal(again.total_sum, np.asarray(proof.total_sum))
+    assert serialize_plonk_without_poseidon_proof(again) == data
