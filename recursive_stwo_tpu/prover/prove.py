@@ -179,8 +179,16 @@ def prove(
         )
         # measured on v5e (16G HBM): the fully device-resident pipeline
         # OOMs at max_domain 24 (fast_verifier blowup 2^7 at 2^16 rows
-        # wants 16.15G); those shapes take the host flow below, whose
-        # FFTs/trees ride the native AVX-512 kernels
+        # wants 16.15G).  Those shapes take the STREAMED pipeline
+        # (prover/stream.py): LDEs are chunk-re-evaluated on the fly and
+        # Merkle levels leave the device above a cutoff, so HBM holds only
+        # O(base-domain) state.  RSTPU_STREAM_LOG=off falls back to the
+        # AVX-512 host flow below.
+        stream_log = os.environ.get("RSTPU_STREAM_LOG", "23")
+        if stream_log != "off" and max_domain >= int(stream_log):
+            from .stream import prove_streamed
+
+            return prove_streamed(trace, config, progress)
         if max_domain < int(os.environ.get("RSTPU_DEVICE_HUGE_LOG", "24")):
             return prove_device(trace, config, progress)
 
