@@ -15,10 +15,15 @@ VERDICT r1 item 3):
                                   (depth-21/22 trees, 8 inner FRI layers)
   host_prepare_ms_per_proof       per-distinct-proof host hint expansion
                                   (parse -> transcript -> path expansion)
+                                  at prepare batch 32; _b1 is the
+                                  single-proof latency
   e2e_distinct_proofs_per_sec     1 / (host prepare + device verify) per
                                   proof — the honest end-to-end rate for
                                   a stream of distinct proofs on one chip
                                   + one host core
+  headline_trials_proofs_per_sec  both headline timing trials (the
+                                  tunneled chip's throughput swings
+                                  between runs; min wins, spread shown)
   poseidon_perms_per_sec          Pallas Poseidon2-16 kernel throughput
   qm31_muls_per_sec               device QM31 multiply throughput
   fri_queries_per_sec             verified FRI queries/s (headline rate x
@@ -74,9 +79,14 @@ def main():
     ok = np.asarray(fn(paj))
     assert ok.all(), "verification failed in bench"
     # two timing trials, best wins: the tunneled device's available
-    # throughput varies across minutes; min-of-trials estimates capability
-    dt = min(_time(lambda: fn(paj), reps), _time(lambda: fn(paj), reps))
+    # throughput varies across minutes; min-of-trials estimates capability.
+    # Both trial values are recorded so the spread is visible.
+    trials = [_time(lambda: fn(paj), reps), _time(lambda: fn(paj), reps)]
+    dt = min(trials)
     headline = batch / dt
+    sec["headline_trials_proofs_per_sec"] = [
+        round(batch / t, 1) for t in trials
+    ]
     sec["fri_queries_per_sec"] = round(headline * spec.n_queries)
 
     # ---- deep fixture: recursive_proof_16_15 ----
@@ -97,11 +107,22 @@ def main():
     sec["native_kernels"] = bool(native.available())
     proof, _ = load_fixture("small_proof")
     hints.prepare(spec, [proof])  # warm (native lib load, caches)
+    # single-proof latency
     n_prep = 5
     t0 = time.perf_counter()
     for _ in range(n_prep):
         hints.prepare(spec, [proof])
-    prep_s = (time.perf_counter() - t0) / n_prep
+    prep_b1_s = (time.perf_counter() - t0) / n_prep
+    sec["host_prepare_ms_per_proof_b1"] = round(prep_b1_s * 1e3, 2)
+    # batched throughput (path expansion hashes all proofs per tree level;
+    # production streams prepare in batches like the device verify does)
+    b_prep = int(os.environ.get("BENCH_PREP_BATCH", "32"))
+    prep_batch = [proof] * b_prep
+    hints.prepare(spec, prep_batch)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        hints.prepare(spec, prep_batch)
+    prep_s = (time.perf_counter() - t0) / 2 / b_prep
     sec["host_prepare_ms_per_proof"] = round(prep_s * 1e3, 2)
     sec["e2e_distinct_proofs_per_sec"] = round(1.0 / (prep_s + 1.0 / headline), 1)
 

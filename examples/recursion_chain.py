@@ -162,8 +162,27 @@ def demo_recurse(level, proof, multipliers, dest_config, sha256=False):
         "circuit_s": round(t_circuit, 1),
         "prove_s": round(t_prove, 1),
         "verify_s": round(t_verify, 1),
+        **_routing_info(),
     })
     return aggregate
+
+
+def _routing_info():
+    """Which prover flow handled the level + device HBM peak (auditable
+    routing record; VERDICT r3 item 8)."""
+    from recursive_stwo_tpu.prover import prove as prove_mod
+
+    info = {"flow": prove_mod.LAST_FLOW}
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak is not None:
+            info["hbm_peak_gb"] = round(peak / 2**30, 2)
+    except Exception:
+        pass
+    return info
 
 
 def main():

@@ -42,18 +42,35 @@ _H0 = np.array([
 ], np.uint32)
 
 
+def _xp(x):
+    if type(x).__module__.startswith("jax"):
+        import jax.numpy as jnp
+
+        return jnp
+    return np
+
+
 def _rotr(x: np.ndarray, n: int) -> np.ndarray:
     return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
 
 
 def compress(state: np.ndarray, block: np.ndarray) -> np.ndarray:
-    """state (N, 8) x block (N, 16) -> (N, 8), all uint32."""
-    w = [block[:, i].copy() for i in range(16)]
+    """state (N, 8) x block (N, 16) -> (N, 8), all uint32.
+
+    Backend-agnostic: pure uint32 rotate/add/xor.  The numpy path unrolls
+    the 64 rounds (python loop over vectorized ops); the traced path runs
+    them as two lax.scans (message schedule + rounds) — the unrolled form
+    makes XLA's CPU scheduler pathological on long straight-line chains
+    when several compressions stack up in one program."""
+    xp = _xp(block)
+    if xp is not np:
+        return _compress_traced(state, block)
+    w = [block[:, i] for i in range(16)]
     for i in range(16, 64):
         s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> np.uint32(3))
         s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ (w[i - 2] >> np.uint32(10))
         w.append(w[i - 16] + s0 + w[i - 7] + s1)
-    a, b, c, d, e, f, g, h = (state[:, i].copy() for i in range(8))
+    a, b, c, d, e, f, g, h = (state[:, i] for i in range(8))
     for i in range(64):
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
@@ -62,27 +79,67 @@ def compress(state: np.ndarray, block: np.ndarray) -> np.ndarray:
         maj = (a & b) ^ (a & c) ^ (b & c)
         t2 = S0 + maj
         h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    out = np.empty_like(state)
-    for i, v in enumerate((a, b, c, d, e, f, g, h)):
-        out[:, i] = state[:, i] + v
-    return out
+    return state + xp.stack([a, b, c, d, e, f, g, h], axis=1)
+
+
+def _compress_traced(state, block):
+    """lax.scan form of `compress` (bit-identical; uint32 wraparound)."""
+    import jax
+    import jax.numpy as jnp
+
+    def wbody(win, _):
+        # win columns are w[i-16..i-1]
+        w15, w7, w2 = win[:, 1], win[:, 9], win[:, 14]
+        s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> np.uint32(3))
+        s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> np.uint32(10))
+        nw = win[:, 0] + s0 + w7 + s1
+        return jnp.concatenate([win[:, 1:], nw[:, None]], axis=1), nw
+
+    _, wext = jax.lax.scan(wbody, block, None, length=48)  # (48, N)
+    ws = jnp.concatenate([block.T, wext], axis=0)  # (64, N)
+
+    def rbody(regs, kw):
+        a, b, c, d, e, f, g, h = regs
+        k, w = kw
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = h + S1 + ch + k + w
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        return (t1 + t2, a, b, c, d + t1, e, f, g), None
+
+    regs0 = tuple(state[:, i] for i in range(8))
+    regs, _ = jax.lax.scan(rbody, regs0, (jnp.asarray(_K), ws))
+    return state + jnp.stack(regs, axis=1)
 
 
 def sha256_words(words: np.ndarray) -> np.ndarray:
     """(N, K) uint32 big-endian words -> (N, 8) uint32 digests.
 
-    Equivalent to hashlib.sha256 over the 4K-byte big-endian encoding."""
-    words = np.atleast_2d(np.asarray(words, np.uint32))
+    Equivalent to hashlib.sha256 over the 4K-byte big-endian encoding.
+    Backend-agnostic: numpy in/out on host, traced arrays under jit."""
+    xp = _xp(words)
+    if xp is np:
+        words = np.atleast_2d(np.asarray(words, np.uint32))
     N, K = words.shape
     bitlen = 32 * K
     # message + 0x80000000 word + zero pad + 2 length words
     n_blocks = (K + 3 + 15) // 16
-    padded = np.zeros((N, 16 * n_blocks), np.uint32)
-    padded[:, :K] = words
-    padded[:, K] = 0x80000000
-    padded[:, -2] = bitlen >> 32
-    padded[:, -1] = bitlen & 0xFFFFFFFF
-    state = np.broadcast_to(_H0, (N, 8)).copy()
+    pad = xp.zeros((N, 16 * n_blocks - K), np.uint32)
+    if xp is np:
+        padded = np.concatenate([words, pad], axis=1)
+        padded[:, K] = 0x80000000
+        padded[:, -2] = bitlen >> 32
+        padded[:, -1] = bitlen & 0xFFFFFFFF
+    else:
+        padded = xp.concatenate([words.astype(xp.uint32), pad], axis=1)
+        padded = padded.at[:, K].set(np.uint32(0x80000000))
+        padded = padded.at[:, -2].set(np.uint32(bitlen >> 32))
+        padded = padded.at[:, -1].set(np.uint32(bitlen & 0xFFFFFFFF))
+    state = xp.broadcast_to(_H0, (N, 8))
+    if xp is np:
+        state = state.copy()
     for bi in range(n_blocks):
         state = compress(state, padded[:, 16 * bi : 16 * bi + 16])
     return state

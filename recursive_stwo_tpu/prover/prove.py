@@ -36,6 +36,10 @@ from .eval_vars import ArrayEvalAtRow, ArrayAccumulator, EvalArray, LookupElemen
 
 P = (1 << 31) - 1
 
+# routing marker for chain logging (docs/chain_log.jsonl "flow" field):
+# set by prove()/prove_np() to the pipeline that produced the last proof
+LAST_FLOW = None
+
 
 def _oods_point(t4):
     t = tuple(int(x) for x in t4)
@@ -157,7 +161,10 @@ def prove(
     import logging
     import os
 
-    if device.enabled() and channel is None and tree_cls is None:
+    from .commit import Sha256CommittedTree
+
+    sha_flavor = tree_cls is Sha256CommittedTree
+    if device.enabled() and (sha_flavor or (channel is None and tree_cls is None)):
         # device-resident pipeline: tensors stay on the accelerator for the
         # whole proof; bit-exact twin of the numpy flow below.  At very
         # large LDE domains (fast_verifier blowups 8-9 -> 2^25-2^26) even
@@ -184,14 +191,25 @@ def prove(
         # Merkle levels leave the device above a cutoff, so HBM holds only
         # O(base-domain) state.  RSTPU_STREAM_LOG=off falls back to the
         # AVX-512 host flow below.
+        global LAST_FLOW
         stream_log = os.environ.get("RSTPU_STREAM_LOG", "23")
         if stream_log != "off" and max_domain >= int(stream_log):
             from .stream import prove_streamed
 
-            return prove_streamed(trace, config, progress)
-        if max_domain < int(os.environ.get("RSTPU_DEVICE_HUGE_LOG", "24")):
+            LAST_FLOW = f"streamed-device(max_domain={max_domain})"
+            return prove_streamed(
+                trace, config, progress, channel=channel,
+                hash_flavor="sha256" if sha_flavor else "p31",
+            )
+        if not sha_flavor and max_domain < int(
+            os.environ.get("RSTPU_DEVICE_HUGE_LOG", "24")
+        ):
+            LAST_FLOW = f"device-resident(max_domain={max_domain})"
             return prove_device(trace, config, progress)
 
+    import recursive_stwo_tpu.prover.prove as _self
+
+    _self.LAST_FLOW = "host-numpy"
     Tree = tree_cls or CommittedTree
     plog = progress or logging.getLogger(__name__).debug
     blowup = config.fri_config.log_blowup_factor

@@ -135,6 +135,29 @@ def prove_np(trace: dict, config: PcsConfig, progress=None,
     pass (prove_sha256.Sha256ProverChannel(), commit.Sha256CommittedTree)
     for the Sha256MerkleChannel output proof (the reference's
     bitcoin_proof.bin step, examples/last-layer/src/main.rs:194-202)."""
+    import os
+
+    from . import device
+
+    if device.enabled():
+        pre_probe, _ = air.np_columns(trace)
+        Lp = pre_probe.shape[1].bit_length() - 1
+        bound_p = NoPoseidonVerifierSpec.for_rows(
+            Lp, config
+        ).composition_log_degree_bound
+        max_domain = max(Lp, bound_p - 1) + config.fri_config.log_blowup_factor
+        stream_log = os.environ.get("RSTPU_STREAM_LOG", "23")
+        if stream_log != "off" and max_domain >= int(stream_log):
+            from . import prove as prove_mod
+            from .stream import prove_np_streamed
+
+            prove_mod.LAST_FLOW = f"streamed-device(max_domain={max_domain})"
+            return prove_np_streamed(
+                trace, config, progress, channel=channel, tree_cls=tree_cls
+            )
+    from . import prove as prove_mod
+
+    prove_mod.LAST_FLOW = "host-numpy"
     Tree = tree_cls or CommittedTree
     def plog(msg):
         if progress:

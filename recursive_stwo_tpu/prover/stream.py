@@ -249,13 +249,20 @@ class _ColShape:
 
 
 @lru_cache(maxsize=None)
-def _commit_chunk_jit(plan: tuple, C: int, K: int):
+def _commit_chunk_jit(plan: tuple, C: int, K: int, flavor: str = "p31"):
     """plan: ((kind, L, n_cols, b), ...) desc by L.  One call hashes a span
     of 2^C leaf rows down to its 2^(C-(M-K)) summit digests at level K,
-    absorbing every column level it covers (hash semantics identical to
-    commit._hash_leaf_level/_hash_node_level)."""
+    absorbing every column level it covers.
+
+    flavor "p31": hash semantics identical to commit._hash_leaf_level/
+    _hash_node_level (Poseidon31 sponge).  flavor "sha256": the framework's
+    SHA-256 tree rules (verifier/sha256_merkle.py) — leaf = sha256(cols),
+    node = sha256(left || right [|| cols]) — run on the VPU via the
+    backend-agnostic core.sha256 rounds."""
     import jax
     import jax.numpy as jnp
+
+    from ..core import sha256 as sha_mod
 
     M = plan[0][1]
     consts = {}
@@ -267,6 +274,30 @@ def _commit_chunk_jit(plan: tuple, C: int, K: int):
                 jnp.asarray(ty),
                 jnp.asarray(_odd_mask(b)),
             )
+
+    def leaf_hash(cols, rows):
+        if flavor == "sha256":
+            return sha_mod.sha256_words(cols.T)
+        digest = _absorb_columns(cols, rows)
+        return poseidon2.permute(
+            jnp.concatenate([jnp.zeros_like(digest), digest], axis=1)
+        )[:, :8]
+
+    def pair_hash(h):
+        if flavor == "sha256":
+            return sha_mod.sha256_words(h.reshape(-1, 16))
+        return poseidon2.permute(h.reshape(-1, 16))[:, :8]
+
+    def pair_cols_hash(h, cols, rows):
+        if flavor == "sha256":
+            return sha_mod.sha256_words(
+                jnp.concatenate([h.reshape(-1, 16), cols.T], axis=1)
+            )
+        h = poseidon2.permute(h.reshape(-1, 16))[:, :8]
+        digest = _absorb_columns(cols, rows)
+        return poseidon2.permute(
+            jnp.concatenate([h, digest], axis=1)
+        )[:, :8]
 
     @jax.jit
     def run(*args):
@@ -286,21 +317,15 @@ def _commit_chunk_jit(plan: tuple, C: int, K: int):
                 cols = args[ai]
                 ai += 1
             if h is None:
-                digest = _absorb_columns(cols, rows)
-                h = poseidon2.permute(
-                    jnp.concatenate([jnp.zeros_like(digest), digest], axis=1)
-                )[:, :8]
+                h = leaf_hash(cols, rows)
             else:
-                while cur > L:
-                    h = poseidon2.permute(h.reshape(-1, 16))[:, :8]
+                while cur > L + 1:
+                    h = pair_hash(h)
                     cur -= 1
-                digest = _absorb_columns(cols, rows)
-                h = poseidon2.permute(
-                    jnp.concatenate([h, digest], axis=1)
-                )[:, :8]
+                h = pair_cols_hash(h, cols, rows)
             cur = L
         while cur > K:
-            h = poseidon2.permute(h.reshape(-1, 16))[:, :8]
+            h = pair_hash(h)
             cur -= 1
         return h
 
@@ -352,7 +377,9 @@ class StreamedTree(CommittedTree):
     integrity-checked against its stored summit digest.
     """
 
-    def __init__(self, sources: Dict[int, object], chunk_log=None, cutoff=None):
+    def __init__(self, sources: Dict[int, object], chunk_log=None, cutoff=None,
+                 flavor: str = "p31"):
+        self.flavor = flavor
         self.sources = {int(L): s for L, s in sources.items()}
         M = self.max_log = max(self.sources)
         min_col = min(self.sources)
@@ -374,7 +401,7 @@ class StreamedTree(CommittedTree):
             for L, s in sorted(self.sources.items(), reverse=True)
         )
         self._plan = plan
-        runner = _commit_chunk_jit(plan, C, K)
+        runner = _commit_chunk_jit(plan, C, K, flavor)
         import jax.numpy as jnp
 
         summits = []
@@ -399,7 +426,7 @@ class StreamedTree(CommittedTree):
         tops = [level_k]
         h = level_k
         for _ in range(K):
-            h = _hash_node_level(h, None)
+            h = self._host_node_level(h, None)
             tops.append(h)
         self._tops = tops  # index i: level K - i
         assert tops[-1].shape[0] == 1
@@ -409,6 +436,22 @@ class StreamedTree(CommittedTree):
     @property
     def root(self) -> np.ndarray:
         return self._tops[-1][0]
+
+    # -- host hash twins (span recompute + top finish) -----------------------
+
+    def _host_leaf_level(self, cols: np.ndarray) -> np.ndarray:
+        if self.flavor == "sha256":
+            from ..verifier import sha256_merkle
+
+            return sha256_merkle.hash_leaf_level(cols)
+        return _hash_leaf_level(cols)
+
+    def _host_node_level(self, children, cols) -> np.ndarray:
+        if self.flavor == "sha256":
+            from ..verifier import sha256_merkle
+
+            return sha256_merkle.hash_node_level(children, cols)
+        return _hash_node_level(children, cols)
 
     # -- decommit primitives -------------------------------------------------
 
@@ -462,10 +505,10 @@ class StreamedTree(CommittedTree):
             for L in self.sources
             if L >= K
         }
-        h = _hash_leaf_level(cols[M])
+        h = self._host_leaf_level(cols[M])
         self._spans.setdefault(M, {})[s] = h
         for L in range(M - 1, K - 1, -1):
-            h = _hash_node_level(h, cols.get(L))
+            h = self._host_node_level(h, cols.get(L))
             if L > K:
                 self._spans.setdefault(L, {})[s] = h
         # summit self-check: the recomputed span must match the streamed
@@ -517,11 +560,18 @@ def _coeff_sources(pairs) -> Dict[int, CoeffSource]:
     }
 
 
-def _res_tree(cols_by_log: Dict[int, object]) -> CommittedTree:
+def _res_tree(cols_by_log: Dict[int, object], flavor: str = "p31") -> CommittedTree:
     """Resident-column tree: streamed above _RES_STREAM_MIN, fused below."""
     if max(cols_by_log) >= _RES_STREAM_MIN:
         return StreamedTree(
-            {L: ResidentSource(c) for L, c in cols_by_log.items()}
+            {L: ResidentSource(c) for L, c in cols_by_log.items()},
+            flavor=flavor,
+        )
+    if flavor == "sha256":
+        from .commit import Sha256CommittedTree
+
+        return Sha256CommittedTree(
+            {L: np.asarray(c, np.uint32) for L, c in cols_by_log.items()}
         )
     return DeviceTree(cols_by_log)
 
@@ -685,8 +735,12 @@ def _fold_b(log: int) -> int:
 
 
 def prove_streamed(
-    trace: dict, config: PcsConfig, progress=None
+    trace: dict, config: PcsConfig, progress=None, channel=None,
+    hash_flavor: str = "p31",
 ) -> PlonkWithPoseidonProof:
+    """channel/hash_flavor select the Merkle-channel flavor: default
+    Poseidon31; pass (prove_sha256.Sha256ProverChannel(), "sha256") for the
+    Sha256Poseidon31 chain level (multi-proofs/src/main.rs:289-295)."""
     import logging
 
     import jax.numpy as jnp
@@ -718,7 +772,7 @@ def prove_streamed(
     assert spec.n_inner_layers == spec.expected_n_inner_layers
     dm1 = bound - 1
 
-    channel = PoseidonChannel()
+    channel = channel or PoseidonChannel()
     perm_p = air.coset_to_domain_perm(lp)
     perm_q = air.coset_to_domain_perm(lq)
 
@@ -732,10 +786,12 @@ def prove_streamed(
 
     # ---- trees 0 + 1 (streamed) ----
     tree0 = StreamedTree(
-        _coeff_sources([(lp + blowup, c_p_pre), (lq + blowup, c_q_pre)])
+        _coeff_sources([(lp + blowup, c_p_pre), (lq + blowup, c_q_pre)]),
+        flavor=hash_flavor,
     )
     tree1 = StreamedTree(
-        _coeff_sources([(lp + blowup, c_p_tr), (lq + blowup, c_q_tr)])
+        _coeff_sources([(lp + blowup, c_p_tr), (lq + blowup, c_q_tr)]),
+        flavor=hash_flavor,
     )
     channel.mix_root(tree0.root)
     plog("tree0 (preprocessed) committed")
@@ -759,7 +815,8 @@ def prove_streamed(
     plog("interaction columns generated")
     channel.mix_two_felts(plonk_total, pos_total)
     tree2 = StreamedTree(
-        _coeff_sources([(lp + blowup, c_int_p), (lq + blowup, c_int_q)])
+        _coeff_sources([(lp + blowup, c_int_p), (lq + blowup, c_int_q)]),
+        flavor=hash_flavor,
     )
     channel.mix_root(tree2.root)
     plog("tree2 (interaction) committed")
@@ -774,7 +831,8 @@ def prove_streamed(
     )
     plog("composition coefficients computed")
     tree3 = StreamedTree(
-        {dm1 + blowup: CoeffSource(split_coeffs, dm1 + blowup)}
+        {dm1 + blowup: CoeffSource(split_coeffs, dm1 + blowup)},
+        flavor=hash_flavor,
     )
     channel.mix_root(tree3.root)
     plog("tree3 (composition) committed")
@@ -864,7 +922,7 @@ def prove_streamed(
 
     stark_proof = _fri_tail_streamed(
         spec, config, channel, [tree0, tree1, tree2, tree3],
-        group_evals, sampled_values, plog,
+        group_evals, sampled_values, plog, flavor=hash_flavor,
     )
     return PlonkWithPoseidonProof(
         log_size_plonk=lp,
@@ -876,8 +934,167 @@ def prove_streamed(
     )
 
 
+def prove_np_streamed(trace: dict, config, progress=None, channel=None,
+                      tree_cls=None):
+    """Streamed twin of prove_np (the PlonkWithoutPoseidon AIR, last-layer
+    output system, examples/last-layer/src/main.rs:188-202).
+
+    The base-domain phases (interaction columns, composition AIR eval) are
+    small and stay on the host via prove_np's own helpers; everything
+    O(LDE-domain) — tree commits, quotients, FRI layers — streams through
+    the device kernels.  Byte-identical to prove_np (tests)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from ..proof.containers import PlonkWithoutPoseidonProof
+    from ..verifier.spec import NoPoseidonVerifierSpec
+    from . import device as _device_cache
+    from .commit import Sha256CommittedTree
+    from .device import _interpolate_jit
+    from .prove import (
+        _add_const,
+        _oods_point,
+    )
+    from .prove_np import _assemble_samples_np, _composition_evals_np
+
+    _device_cache._jnp()
+    plog = progress or logging.getLogger(__name__).debug
+    flavor = "sha256" if tree_cls is Sha256CommittedTree else "p31"
+
+    from ..recursion.composition import evaluate_plonk_np
+
+    pre, tr = air.np_columns(trace)
+    L = pre.shape[1].bit_length() - 1
+    assert 1 << L == pre.shape[1]
+    blowup = config.fri_config.log_blowup_factor
+    spec = NoPoseidonVerifierSpec.for_rows(L, config)
+    bound = spec.composition_log_degree_bound
+    dm1 = bound - 1
+
+    channel = channel or PoseidonChannel()
+    perm = air.coset_to_domain_perm(L)
+
+    c_pre = _interpolate_jit(L)(jnp.asarray(pre[..., perm]))
+    tree0 = StreamedTree(
+        {L + blowup: CoeffSource(c_pre, L + blowup)}, flavor=flavor
+    )
+    channel.mix_root(tree0.root)
+    plog("tree0 (preprocessed) committed")
+
+    channel.mix_one_felt([L, 0, 0, 0])
+
+    c_tr = _interpolate_jit(L)(jnp.asarray(tr[..., perm]))
+    tree1 = StreamedTree(
+        {L + blowup: CoeffSource(c_tr, L + blowup)}, flavor=flavor
+    )
+    channel.mix_root(tree1.root)
+    plog("tree1 (trace) committed")
+
+    z4, alpha4 = channel.draw_felts()
+
+    inter, total = air.interaction_columns(
+        pre, tr, z4, alpha4, evaluate_plonk_np
+    )
+    channel.mix_one_felt(total)
+
+    c_int = _interpolate_jit(L)(jnp.asarray(inter[..., perm]))
+    tree2 = StreamedTree(
+        {L + blowup: CoeffSource(c_int, L + blowup)}, flavor=flavor
+    )
+    channel.mix_root(tree2.root)
+    plog("tree2 (interaction) committed")
+
+    random_coeff4 = channel.draw_felt()
+
+    comp_evals = _composition_evals_np(
+        spec, bound, pre, tr, inter, z4, alpha4, random_coeff4, total
+    )
+    comp_rows = np.stack(
+        [np.asarray(c, np.uint32) for c in comp_evals]
+    )  # (4, 2^bound), bit-reversed domain order
+    comp_coeffs = circle_fft.interpolate(comp_rows)
+    half = 1 << dm1
+    split_coeffs = jnp.asarray(
+        np.concatenate([comp_coeffs[:, :half], comp_coeffs[:, half:]])
+    )
+    plog("composition coefficients computed")
+    tree3 = StreamedTree(
+        {dm1 + blowup: CoeffSource(split_coeffs, dm1 + blowup)},
+        flavor=flavor,
+    )
+    channel.mix_root(tree3.root)
+    plog("tree3 (composition) committed")
+
+    oods_t4 = channel.draw_felt()
+    oods = _oods_point(oods_t4)
+
+    from . import device as device_mod
+    from .prove import _factors_at_point
+
+    col_coeffs = {0: c_pre, 1: c_tr, 2: c_int, 3: split_coeffs}
+    step = ccircle.CanonicCoset(L).step()
+    shifted = _add_const(oods, ccircle.point_neg(step))
+
+    samples_at = {}
+    for t, cfs in col_coeffs.items():
+        deg_log = int(cfs.shape[1]).bit_length() - 1
+        samples_at[(t, 0)] = np.asarray(
+            device_mod._sample_jit(deg_log)(
+                cfs, np.asarray(_factors_at_point(deg_log, oods), np.uint32)
+            )
+        )
+        if t == 2:
+            samples_at[(t, -1)] = np.asarray(
+                device_mod._sample_jit(deg_log)(
+                    cfs,
+                    np.asarray(_factors_at_point(deg_log, shifted), np.uint32),
+                )
+            )
+
+    sampled_values = _assemble_samples_np(spec, bound, samples_at)
+    plog("OODS samples computed")
+
+    flat = [s for tree in sampled_values for col in tree for s in col]
+    for k in range(0, len(flat), 2):
+        chunk = flat[k : k + 2]
+        if len(chunk) == 1:
+            channel.mix_one_felt(chunk[0])
+        else:
+            channel.mix_two_felts(chunk[0], chunk[1])
+
+    after_coeff4 = channel.draw_felt()
+
+    blocks_by_log: Dict[int, List] = {}
+    for cfs in (c_pre, c_tr, c_int, split_coeffs):
+        deg = int(cfs.shape[1]).bit_length() - 1
+        blocks_by_log.setdefault(deg + blowup, []).append(cfs)
+
+    samples_flat = np.concatenate(
+        [col for tree in sampled_values for col in tree]
+    ).astype(np.uint32)
+    oods8 = np.concatenate(
+        [np.asarray(oods[0], np.uint32), np.asarray(oods[1], np.uint32)]
+    )
+    group_evals = _streamed_group_evals(
+        spec, blocks_by_log, samples_flat, oods8,
+        np.asarray(after_coeff4, np.uint32), plog,
+    )
+
+    stark_proof = _fri_tail_streamed(
+        spec, config, channel, [tree0, tree1, tree2, tree3],
+        group_evals, sampled_values, plog, flavor=flavor,
+    )
+    return PlonkWithoutPoseidonProof(
+        log_size=L,
+        total_sum=np.array(total, np.uint32),
+        config=config,
+        stark_proof=stark_proof,
+    )
+
+
 def _fri_tail_streamed(spec, config, channel, trees, group_evals,
-                       sampled_values, plog):
+                       sampled_values, plog, flavor: str = "p31"):
     """FRI phase with streamed layer commits (mirrors
     device_prove._fri_tail_device; proofs are byte-identical)."""
     import jax.numpy as jnp
@@ -887,7 +1104,7 @@ def _fri_tail_streamed(spec, config, channel, trees, group_evals,
 
     plog("FRI first-layer quotients computed")
     first_tree = _res_tree(
-        {L: fri._q_limbs(ev) for L, ev in group_evals.items()}
+        {L: fri._q_limbs(ev) for L, ev in group_evals.items()}, flavor
     )
     channel.mix_root(first_tree.root)
     alphas = [tuple(int(x) for x in channel.draw_felt())]
@@ -920,7 +1137,7 @@ def _fri_tail_streamed(spec, config, channel, trees, group_evals,
                        np.uint32),
             jnp.asarray(bx), jnp.asarray(by),
         )
-        tree_i = _res_tree({level: g4})
+        tree_i = _res_tree({level: g4}, flavor)
         inner_trees.append(tree_i)
         inner_evals.append(QM31(g4[0], g4[1], g4[2], g4[3]))
         channel.mix_root(tree_i.root)

@@ -32,12 +32,20 @@ Hash semantics mirror /root/reference/primitives/merkle/src/lib.rs.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List
 
 import numpy as np
 
 from ..core import poseidon2
+
+
+def _lanes_default() -> int:
+    """Scan lanes: more lanes = fewer scan steps (less per-step dispatch /
+    wiring overhead) at the cost of bin-packing slack permutations.
+    Swept on the v5e: see docs/perf.md."""
+    return int(os.environ.get("RSTPU_HASH_LANES", "4"))
 
 
 def _xp(arr):
@@ -60,10 +68,11 @@ def _permute(state):
 # Packed column-capacity absorption
 # ---------------------------------------------------------------------------
 
-def absorb_packed(chains: List[object], lanes: int = 4) -> List[object]:
+def absorb_packed(chains: List[object], lanes: int = 0) -> List[object]:
     """Capacity-absorb many (B, Q, n_i) column chains; one permutation per
     8-column chunk TOTAL (packed into `lanes` scan lanes), not per chunk
     slot padded to the deepest chain.  Returns per-chain (B, Q, 8)."""
+    lanes = lanes or _lanes_default()
     xp = _xp(chains[0])
     B, Q = chains[0].shape[:2]
     C = len(chains)
@@ -242,12 +251,13 @@ def _pair_prog(wk: PairWalk, wi: int) -> List[dict]:
 
 
 def walk_scan(
-    singles: List[SingleWalk], pairs: List[PairWalk], lanes: int = 4
+    singles: List[SingleWalk], pairs: List[PairWalk], lanes: int = 0
 ):
     """Run every walk; returns (single_oks, pair_oks) of (B,) bools.
 
     Total permutations = sum over walks of (depth + column ops) — the
     minimum — bin-packed into `lanes` scan lanes of near-equal length."""
+    lanes = lanes or _lanes_default()
     all_walks = list(singles) + list(pairs)
     NW = len(all_walks)
     xp = _xp(all_walks[0].queries if singles or pairs else None)

@@ -99,6 +99,38 @@ def _hash_nodes_batch(
     return h
 
 
+# SHA-256 level-batched twins (verifier/sha256_merkle.py semantics): used
+# by the batched path expansion for the Sha256(Poseidon31) flavors, riding
+# the AVX-512 16-way kernels instead of one scalar hash per node.
+
+def _sha_words(msgs: np.ndarray) -> np.ndarray:
+    from ..core.sha256 import sha256_words
+    from ..utils import native
+
+    if native.sha_available():
+        return native.sha256_words_batch(np.ascontiguousarray(msgs))
+    return sha256_words(msgs)
+
+
+def _sha_leaves_batch(cols: np.ndarray) -> np.ndarray:
+    return _sha_words(np.asarray(cols, np.uint32))
+
+
+def _sha_nodes_batch(
+    left: np.ndarray, right: np.ndarray, cols: np.ndarray | None
+) -> np.ndarray:
+    parts = [left, right]
+    if cols is not None and cols.shape[1]:
+        parts.append(np.asarray(cols, np.uint32))
+    return _sha_words(np.concatenate(parts, axis=1))
+
+
+def _level_hashers(flavor: str):
+    if flavor == "sha256":
+        return _sha_leaves_batch, _sha_nodes_batch
+    return _hash_leaves_batch, _hash_nodes_batch
+
+
 # ---------------------------------------------------------------------------
 # Commitment-tree path expansion (single-path proofs)
 # ---------------------------------------------------------------------------
@@ -221,6 +253,141 @@ def expand_single_paths(
                 columns[lvl][qi] = data
             cur >>= 1
     return sib, columns
+
+
+def expand_single_paths_batched(
+    max_log: int,
+    raw_queries_list: List[List[int]],
+    values_list: List[np.ndarray],
+    n_columns_per_log_size: Dict[int, int],
+    decommitments: List[MerkleDecommitment],
+    roots: List[np.ndarray],
+    flavor: str = "p31",
+) -> List[tuple]:
+    """Batch twin of expand_single_paths over B proofs: identical per-proof
+    witness-consumption order and outputs, but each tree level hashes the
+    nodes of ALL proofs in one call (the per-call overhead of the native
+    kernel dominated single-proof expansion).  flavor selects the node
+    hash: "p31" (Poseidon31) or "sha256" (verifier/sha256_merkle.py)."""
+    leaves_fn, nodes_fn = _level_hashers(flavor)
+    B = len(values_list)
+    n_top = n_columns_per_log_size[max_log]
+
+    st = []
+    leaf_rows = []
+    for bi in range(B):
+        queries = sorted(set(raw_queries_list[bi]))
+        values = np.ascontiguousarray(values_list[bi], np.uint32).ravel()
+        hw = np.asarray(
+            decommitments[bi].hash_witness, np.uint32
+        ).reshape(-1, 8)
+        assert len(decommitments[bi].column_witness) == 0
+        nq = len(queries)
+        assert nq * n_top <= values.size, "value witness exhausted"
+        leaf_cols = values[: nq * n_top].reshape(nq, n_top)
+        leaf_rows.append(leaf_cols)
+        st.append(
+            dict(
+                queries=queries,
+                values=values,
+                vcur=nq * n_top,
+                hw=hw,
+                hcur=0,
+                leaf_cols=leaf_cols,
+                hash_layers=[],
+                column_layers=[],
+                positions=queries,
+            )
+        )
+
+    leaf_hashed = leaves_fn(np.concatenate(leaf_rows))
+    off = 0
+    for bi in range(B):
+        nq = len(st[bi]["queries"])
+        st[bi]["hash_layers"].append(
+            {
+                qq: leaf_hashed[off + i]
+                for i, qq in enumerate(st[bi]["queries"])
+            }
+        )
+        off += nq
+
+    for i in range(max_log):
+        ncols = n_columns_per_log_size.get(max_log - 1 - i, 0)
+        all_lefts: List[np.ndarray] = []
+        all_rights: List[np.ndarray] = []
+        all_cols: List[np.ndarray] = []
+        job_owner: List[Tuple[int, int]] = []  # (proof, parent)
+        for bi in range(B):
+            s = st[bi]
+            layer: Dict[int, np.ndarray] = {}
+            column_layer: Dict[int, np.ndarray] = {}
+            hl = s["hash_layers"][i]
+            values, hw = s["values"], s["hw"]
+            for position in s["positions"]:
+                if (position >> 1) in column_layer:
+                    continue
+                cols = values[s["vcur"] : s["vcur"] + ncols]
+                assert cols.size == ncols, "value witness exhausted"
+                s["vcur"] += ncols
+                column_layer[position >> 1] = cols
+                sibling_idx = position ^ 1
+                if sibling_idx not in hl:
+                    assert s["hcur"] < hw.shape[0], "hash witness exhausted"
+                    hl[sibling_idx] = hw[s["hcur"]]
+                    s["hcur"] += 1
+                own, sibling = hl[position], hl[sibling_idx]
+                pair = (own, sibling) if position & 1 == 0 else (sibling, own)
+                all_lefts.append(pair[0])
+                all_rights.append(pair[1])
+                all_cols.append(cols)
+                job_owner.append((bi, position >> 1))
+            s["column_layers"].append(column_layer)
+            s["hash_layers"].append(layer)
+            s["positions"] = sorted(column_layer)
+        if job_owner:
+            hashed = nodes_fn(
+                np.stack(all_lefts),
+                np.stack(all_rights),
+                np.stack(all_cols) if ncols else None,
+            )
+            for j, (bi, parent) in enumerate(job_owner):
+                st[bi]["hash_layers"][i + 1][parent] = hashed[j]
+
+    out = []
+    for bi in range(B):
+        s = st[bi]
+        assert s["hcur"] == s["hw"].shape[0], "unconsumed hash witness"
+        assert s["vcur"] == s["values"].size, "unconsumed value witness"
+        assert np.array_equal(
+            s["hash_layers"][-1][0], roots[bi]
+        ), "tree root mismatch"
+
+        raw_queries = raw_queries_list[bi]
+        Q = len(raw_queries)
+        sib = np.zeros((Q, max_log, 8), np.uint32)
+        columns: Dict[int, np.ndarray] = {
+            max_log: np.zeros((Q, n_top), np.uint32)
+        }
+        for lvl, ncols in n_columns_per_log_size.items():
+            if lvl != max_log:
+                columns[lvl] = np.zeros((Q, ncols), np.uint32)
+        qmap = {qq: i for i, qq in enumerate(s["queries"])}
+        for qi, qq in enumerate(raw_queries):
+            cur = qq
+            for i in range(max_log):
+                sib[qi, i] = s["hash_layers"][i][cur ^ 1]
+                cur >>= 1
+            columns[max_log][qi] = s["leaf_cols"][qmap[qq]]
+            cur = qq >> 1
+            for i, layer in enumerate(s["column_layers"][: max_log - 1]):
+                data = layer[cur]
+                lvl = max_log - i - 1
+                if len(data):
+                    columns[lvl][qi] = data
+                cur >>= 1
+        out.append((sib, columns))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +518,157 @@ def expand_pair_paths(
                 si += 1
             query >>= 1
     return sib, self_cols, sib_cols
+
+
+def expand_pair_paths_batched(
+    log_sizes_with_data: List[int],
+    roots: List[np.ndarray],
+    leaf_queries_list: List[List[int]],
+    values_list: List[np.ndarray],
+    decommitments: List[MerkleDecommitment],
+    flavor: str = "p31",
+) -> List[tuple]:
+    """Batch twin of expand_pair_paths over B proofs (one FRI layer):
+    identical per-proof witness order and outputs, one hash call per tree
+    level for all proofs together."""
+    leaves_fn, nodes_fn = _level_hashers(flavor)
+    B = len(values_list)
+    max_log = max(log_sizes_with_data)
+    data_set = set(log_sizes_with_data)
+
+    st = []
+    for bi in range(B):
+        assert len(decommitments[bi].column_witness) == 0
+        st.append(
+            dict(
+                values=np.ascontiguousarray(values_list[bi], np.uint32).ravel(),
+                vcur=0,
+                hw=np.asarray(
+                    decommitments[bi].hash_witness, np.uint32
+                ).reshape(-1, 8),
+                hcur=0,
+                queries=list(leaf_queries_list[bi]),
+                qvm={},   # level -> {idx: (4,) values}
+                hash_layers=[],
+            )
+        )
+
+    for current in range(max_log, -1, -1):
+        jobs_pairs: List[tuple] = []
+        jobs_cols: List[np.ndarray] = []
+        jobs_owner: List[Tuple[int, int]] = []  # (proof, node idx)
+        leaf_rows: List[np.ndarray] = []
+        leaf_owner: List[Tuple[int, int]] = []
+        for bi in range(B):
+            s = st[bi]
+            queries = sorted(set(s["queries"]))
+            layer: Dict[int, np.ndarray] = {}
+            if current in data_set:
+                self_and_sib = sorted(
+                    {v for qq in queries for v in (qq, qq ^ 1)}
+                )
+                n_k = len(self_and_sib)
+                vals = s["values"][s["vcur"] : s["vcur"] + 4 * n_k]
+                assert vals.size == 4 * n_k, "value witness exhausted"
+                vals = vals.reshape(n_k, 4)
+                s["vcur"] += 4 * n_k
+                s["qvm"][current] = {
+                    k: vals[j] for j, k in enumerate(self_and_sib)
+                }
+                if current == max_log:
+                    leaf_rows.append(vals)
+                    leaf_owner.extend((bi, k) for k in self_and_sib)
+                else:
+                    prev = s["hash_layers"][-1]
+                    for j, qq in enumerate(self_and_sib):
+                        l_idx, r_idx = qq << 1, (qq << 1) + 1
+                        for idx in (l_idx, r_idx):
+                            if idx not in prev:
+                                assert s["hcur"] < s["hw"].shape[0]
+                                prev[idx] = s["hw"][s["hcur"]]
+                                s["hcur"] += 1
+                        jobs_pairs.append((prev[l_idx], prev[r_idx]))
+                        jobs_cols.append(vals[j])
+                        jobs_owner.append((bi, qq))
+            else:
+                assert current != max_log
+                prev = s["hash_layers"][-1]
+                for qq in queries:
+                    l_idx, r_idx = qq << 1, (qq << 1) + 1
+                    for idx in (l_idx, r_idx):
+                        if idx not in prev:
+                            assert s["hcur"] < s["hw"].shape[0]
+                            prev[idx] = s["hw"][s["hcur"]]
+                            s["hcur"] += 1
+                    jobs_pairs.append((prev[l_idx], prev[r_idx]))
+                    jobs_cols.append(None)
+                    jobs_owner.append((bi, qq))
+            s["hash_layers"].append(layer)
+            s["queries"] = [qq >> 1 for qq in queries]
+
+        if leaf_rows:
+            hashed = leaves_fn(np.concatenate(leaf_rows))
+            for j, (bi, k) in enumerate(leaf_owner):
+                st[bi]["hash_layers"][-1][k] = hashed[j]
+        if jobs_owner:
+            with_cols = jobs_cols[0] is not None
+            hashed = nodes_fn(
+                np.stack([p[0] for p in jobs_pairs]),
+                np.stack([p[1] for p in jobs_pairs]),
+                np.stack(jobs_cols) if with_cols else None,
+            )
+            for j, (bi, qq) in enumerate(jobs_owner):
+                st[bi]["hash_layers"][-1][qq] = hashed[j]
+
+    # sibling column-node recompute (final gather needs hash_node of the
+    # sibling's children at data levels below the leaf) — batched too
+    recompute_pairs = []
+    recompute_owner: List[Tuple[int, int, int]] = []  # (proof, qi, si)
+    for bi in range(B):
+        s = st[bi]
+        assert s["vcur"] == s["values"].size, "unconsumed value witness"
+        assert s["hcur"] == s["hw"].shape[0], "unconsumed hash witness"
+        assert len(s["hash_layers"][-1]) == 1 and np.array_equal(
+            s["hash_layers"][-1][0], roots[bi]
+        ), "pair tree root mismatch"
+
+    Q_out = []
+    for bi in range(B):
+        s = st[bi]
+        leaf_queries = leaf_queries_list[bi]
+        Q = len(leaf_queries)
+        depth = max_log
+        sib = np.zeros((Q, max(depth - 1, 0), 8), np.uint32)
+        self_cols = {lvl: np.zeros((Q, 4), np.uint32) for lvl in data_set}
+        sib_cols = {lvl: np.zeros((Q, 4), np.uint32) for lvl in data_set}
+        for qi, leaf_q in enumerate(leaf_queries):
+            query = leaf_q
+            si = 0
+            for current in range(max_log, 0, -1):
+                if current in data_set:
+                    self_cols[current][qi] = s["qvm"][current][query]
+                    sib_cols[current][qi] = s["qvm"][current][query ^ 1]
+                    if current != max_log:
+                        sl, sr = (query ^ 1) << 1, ((query ^ 1) << 1) + 1
+                        hl = s["hash_layers"][max_log - current - 1]
+                        recompute_pairs.append((hl[sl], hl[sr]))
+                        recompute_owner.append((bi, qi, si))
+                        si += 1
+                else:
+                    sib[qi, si] = s["hash_layers"][max_log - current][query ^ 1]
+                    si += 1
+                query >>= 1
+        Q_out.append((sib, self_cols, sib_cols))
+
+    if recompute_owner:
+        hashed = nodes_fn(
+            np.stack([p[0] for p in recompute_pairs]),
+            np.stack([p[1] for p in recompute_pairs]),
+            None,
+        )
+        for j, (bi, qi, si) in enumerate(recompute_owner):
+            Q_out[bi][0][qi, si] = hashed[j]
+    return Q_out
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +889,16 @@ def prepare(
     arrays_fn/transcript_fn default to the with-poseidon flavor; pass
     (arrays.from_proofs_np, transcript.run_transcript_np) for
     PlonkWithoutPoseidon proofs — everything below is spec-generic.
-    hash_node_fn overrides the Merkle node hash (SHA-256 flavors)."""
+    hash_node_fn overrides the Merkle node hash; the SHA-256 flavor
+    (verifier/sha256_merkle.hash_node) is recognized and expanded through
+    the level-batched AVX-512 path like the Poseidon default."""
+    from . import sha256_merkle
+
+    batched_flavor = None
+    if hash_node_fn is None:
+        batched_flavor = "p31"
+    elif hash_node_fn is sha256_merkle.hash_node:
+        batched_flavor = "sha256"
     pa = arrays_fn(spec, proofs)
     fs = (transcript_fn or transcript.run_transcript)(spec, pa)
     B = len(proofs)
@@ -581,128 +908,185 @@ def prepare(
     tree_paths = []
     for t in range(4):
         depth = spec.tree_max_domain_log[t]
-        per_proof = []
-        for bi, proof in enumerate(proofs):
-            raw = [
+        raw_list = [
+            [
                 int(v) >> (M - depth)
                 for v in (fs.raw_queries[bi] & np.uint32((1 << M) - 1))
             ]
-            per_proof.append(
+            for bi in range(B)
+        ]
+        if batched_flavor is not None:
+            per_proof = expand_single_paths_batched(
+                depth,
+                raw_list,
+                [p.stark_proof.queried_values[t] for p in proofs],
+                spec.n_columns_per_log_size[t],
+                [p.stark_proof.decommitments[t] for p in proofs],
+                [p.stark_proof.commitments[t] for p in proofs],
+                flavor=batched_flavor,
+            )
+        else:
+            per_proof = [
                 expand_single_paths(
                     depth,
-                    raw,
+                    raw_list[bi],
                     proof.stark_proof.queried_values[t],
                     spec.n_columns_per_log_size[t],
                     proof.stark_proof.decommitments[t],
                     proof.stark_proof.commitments[t],
                     hash_node_fn=hash_node_fn,
                 )
-            )
+                for bi, proof in enumerate(proofs)
+            ]
         tree_paths.append(_stack_tree_paths(per_proof))
 
     answers = host_fri_answers(spec, fs, pa, tree_paths)
 
-    # first FRI layer: rebuild full pair evals, fold, expand pair paths
-    fl_per_proof = []
-    folded_evals_all = []  # per proof: {L: [folded (sorted pair order)]}
+    # first FRI layer: rebuild full pair evals, fold, expand pair paths.
+    # Pair rebuilding stays per-proof python (witness order is sequential
+    # per proof) but the circle folds are one call per group over ALL
+    # proofs' pairs and path expansion hashes all proofs per level.
+    raw_lists = [
+        [int(v) for v in (fs.raw_queries[bi] & np.uint32((1 << M) - 1))]
+        for bi in range(B)
+    ]
+    fl_values_list: List[np.ndarray] = []
+    group_pairs = [
+        {"pos": [], "ve": [], "vo": [], "bid": []}
+        for _ in spec.all_log_sizes
+    ]
+    pair_slices: List[Dict[int, tuple]] = [dict() for _ in range(B)]
     for bi, proof in enumerate(proofs):
-        raw_all = [int(v) for v in (fs.raw_queries[bi] & np.uint32((1 << M) - 1))]
+        raw_all = raw_lists[bi]
         witness_iter = iter(
-            tuple(int(x) for x in row)
-            for row in proof.stark_proof.fri_proof.first_layer.fri_witness
+            tuple(row)
+            for row in np.asarray(
+                proof.stark_proof.fri_proof.first_layer.fri_witness,
+                np.uint32,
+            ).tolist()
         )
         stream = []
-        folded_evals = {}
         for g, L in enumerate(spec.all_log_sizes):
             qL_raw = [v >> (M - L) for v in raw_all]
             sorted_q = sorted(set(qL_raw))
-            ans_map = {}
-            for qi, qq in enumerate(qL_raw):
-                ans_map[qq] = (
-                    int(answers[g].a[bi, qi]),
-                    int(answers[g].b[bi, qi]),
-                    int(answers[g].c[bi, qi]),
-                    int(answers[g].d[bi, qi]),
-                )
+            ans_rows = np.stack(
+                [answers[g].a[bi], answers[g].b[bi],
+                 answers[g].c[bi], answers[g].d[bi]], axis=-1
+            ).tolist()
+            ans_map = {
+                qq: tuple(ans_rows[qi]) for qi, qq in enumerate(qL_raw)
+            }
             query_evals = [ans_map[qq] for qq in sorted_q]
             pairs = rebuild_first_layer_evals(sorted_q, L, query_evals, witness_iter)
-            alpha = fs.fri_alphas[M - L]
-            alpha_b = QM31(
-                alpha.a[bi : bi + 1], alpha.b[bi : bi + 1],
-                alpha.c[bi : bi + 1], alpha.d[bi : bi + 1],
-            )
-            if pairs:
-                folded_rows = fold_circle_pairs(
-                    np.array([p[1] for p in pairs], np.uint32),
-                    np.array([p[2] for p in pairs], np.uint32),
-                    np.array([p[0] for p in pairs], np.uint64),
-                    L, alpha_b,
-                )
-                folded_evals[L] = [
-                    tuple(int(x) for x in row) for row in folded_rows
-                ]
-            else:
-                folded_evals[L] = []
+            gp = group_pairs[g]
+            pair_slices[bi][g] = (len(gp["pos"]), len(pairs))
             for pos0, ve, vo in pairs:
+                gp["pos"].append(pos0)
+                gp["ve"].append(ve)
+                gp["vo"].append(vo)
+                gp["bid"].append(bi)
                 stream.extend(ve)
                 stream.extend(vo)
         assert next(witness_iter, None) is None
+        fl_values_list.append(np.array(stream, np.uint32))
+
+    folded_by_group: Dict[int, np.ndarray] = {}
+    for g, L in enumerate(spec.all_log_sizes):
+        gp = group_pairs[g]
+        if gp["pos"]:
+            alpha = fs.fri_alphas[M - L]
+            bid = np.asarray(gp["bid"], np.int64)
+            alpha_rows = QM31(
+                alpha.a[bid], alpha.b[bid], alpha.c[bid], alpha.d[bid]
+            )
+            folded_by_group[g] = fold_circle_pairs(
+                np.array(gp["ve"], np.uint32),
+                np.array(gp["vo"], np.uint32),
+                np.array(gp["pos"], np.uint64),
+                L, alpha_rows,
+            )
+    folded_lists = {
+        g: arr.tolist() for g, arr in folded_by_group.items()
+    }
+    folded_evals_all = []  # per proof: {L: [folded (sorted pair order)]}
+    for bi in range(B):
+        folded_evals = {}
+        for g, L in enumerate(spec.all_log_sizes):
+            off, n = pair_slices[bi][g]
+            folded_evals[L] = [
+                tuple(row) for row in folded_lists[g][off : off + n]
+            ] if n else []
         folded_evals_all.append(folded_evals)
-        fl_per_proof.append(
+
+    if batched_flavor is not None:
+        fl_per_proof = expand_pair_paths_batched(
+            list(spec.all_log_sizes),
+            [p.stark_proof.fri_proof.first_layer.commitment for p in proofs],
+            raw_lists,
+            fl_values_list,
+            [p.stark_proof.fri_proof.first_layer.decommitment for p in proofs],
+            flavor=batched_flavor,
+        )
+    else:
+        fl_per_proof = [
             expand_pair_paths(
                 list(spec.all_log_sizes),
                 proof.stark_proof.fri_proof.first_layer.commitment,
-                raw_all,
-                np.array(stream, np.uint32),
+                raw_lists[bi],
+                fl_values_list[bi],
                 proof.stark_proof.fri_proof.first_layer.decommitment,
                 hash_node_fn=hash_node_fn,
             )
-        )
+            for bi, proof in enumerate(proofs)
+        ]
     first_layer_paths = _stack_pair_paths(fl_per_proof)
 
-    # inner layers
-    inner_paths = []
+    # inner layers — layer-major: per-proof python assembles the witness
+    # streams (sequential consumption order per proof) while line folds and
+    # path expansion run once per layer over all proofs.
+    inner_paths: List[list] = [[] for _ in range(spec.n_inner_layers)]
+    folded_state: List[Dict[int, tuple]] = [
+        {qq >> 1: (0, 0, 0, 0) for qq in raw_lists[bi]} for bi in range(B)
+    ]
+    log_size = M
     for i in range(spec.n_inner_layers):
-        inner_paths.append([])
+        alpha = fs.fri_alphas[i]
+        alpha_next = fs.fri_alphas[i + 1]
+        if log_size in folded_evals_all[0]:
+            # fold-in mix: one batched q-op pass over all proofs' rows
+            rows_cur, rows_add, bids, owners = [], [], [], []
+            for bi in range(B):
+                keys = sorted(folded_state[bi])
+                rows_cur.extend(folded_state[bi][k] for k in keys)
+                rows_add.extend(folded_evals_all[bi][log_size])
+                bids.extend([bi] * len(keys))
+                owners.extend((bi, k) for k in keys)
+            bid = np.asarray(bids, np.int64)
+            a_rows = QM31(
+                alpha.a[bid], alpha.b[bid], alpha.c[bid], alpha.d[bid]
+            )
+            a2 = q.q_mul(a_rows, a_rows)
+            cur = _q_rows(np.array(rows_cur, np.uint32))
+            add = _q_rows(np.array(rows_add, np.uint32))
+            mixed = _rows_of_q(q.q_add(q.q_mul(a2, cur), add)).tolist()
+            for j, (bi, k) in enumerate(owners):
+                folded_state[bi][k] = tuple(mixed[j])
+        log_size -= 1
 
-    for bi, proof in enumerate(proofs):
-        raw_all = [int(v) for v in (fs.raw_queries[bi] & np.uint32((1 << M) - 1))]
-        folded = {qq >> 1: (0, 0, 0, 0) for qq in raw_all}
-        log_size = M
-        for i, layer in enumerate(proof.stark_proof.fri_proof.inner_layers):
-            alpha = fs.fri_alphas[i]
-            alpha_b = QM31(
-                alpha.a[bi : bi + 1], alpha.b[bi : bi + 1],
-                alpha.c[bi : bi + 1], alpha.d[bi : bi + 1],
-            )
-            alpha_next = fs.fri_alphas[i + 1]
-            alpha_next_b = QM31(
-                alpha_next.a[bi : bi + 1], alpha_next.b[bi : bi + 1],
-                alpha_next.c[bi : bi + 1], alpha_next.d[bi : bi + 1],
-            )
-            if log_size in folded_evals_all[bi]:
-                a2 = q.q_mul(alpha_b, alpha_b)
-                keys = sorted(folded)
-                fold_in = folded_evals_all[bi][log_size]
-                cur = _q_rows(np.array([folded[k] for k in keys], np.uint32))
-                add = _q_rows(np.array(fold_in, np.uint32))
-                mixed = _rows_of_q(q.q_add(q.q_mul(a2, cur), add))
-                folded = {
-                    k: tuple(int(x) for x in mixed[j])
-                    for j, k in enumerate(keys)
-                }
-            log_size -= 1
+        streams: List[np.ndarray] = []
+        all_le, all_ri, all_idx, bids, slices = [], [], [], [], []
+        for bi, proof in enumerate(proofs):
+            layer = proof.stark_proof.fri_proof.inner_layers[i]
+            folded = folded_state[bi]
             wit = iter(
-                tuple(int(x) for x in row) for row in layer.fri_witness
+                tuple(row)
+                for row in np.asarray(layer.fri_witness, np.uint32).tolist()
             )
             decommitmented = {}
             pair_items = {}  # left_idx -> (left_v, right_v)
             for k in sorted(folded):
                 v = folded[k]
-                if (k ^ 1) in folded:
-                    sibling_v = folded[k ^ 1]
-                else:
-                    sibling_v = next(wit)
+                sibling_v = folded[k ^ 1] if (k ^ 1) in folded else next(wit)
                 left_v, right_v = (v, sibling_v) if k & 1 == 0 else (sibling_v, v)
                 left_idx = (k >> 1) << 1
                 decommitmented[left_idx] = left_v
@@ -710,54 +1094,94 @@ def prepare(
                 pair_items[left_idx] = (left_v, right_v)
             assert next(wit, None) is None
             left_idxs = sorted(pair_items)
-            folded_rows = fold_line_pairs(
-                np.array([pair_items[i][0] for i in left_idxs], np.uint32),
-                np.array([pair_items[i][1] for i in left_idxs], np.uint32),
-                np.array(left_idxs, np.uint64),
-                log_size, alpha_next_b,
-            )
-            new_folded = {
-                i >> 1: tuple(int(x) for x in folded_rows[j])
-                for j, i in enumerate(left_idxs)
-            }
+            slices.append((len(all_idx), len(left_idxs)))
+            for li in left_idxs:
+                all_le.append(pair_items[li][0])
+                all_ri.append(pair_items[li][1])
+                all_idx.append(li)
+                bids.append(bi)
             stream = []
             for kk in sorted(decommitmented):
                 stream.extend(decommitmented[kk])
-            inner_paths[i].append(
+            streams.append(np.array(stream, np.uint32))
+
+        bid = np.asarray(bids, np.int64)
+        a_next_rows = QM31(
+            alpha_next.a[bid], alpha_next.b[bid],
+            alpha_next.c[bid], alpha_next.d[bid],
+        )
+        folded_rows = fold_line_pairs(
+            np.array(all_le, np.uint32),
+            np.array(all_ri, np.uint32),
+            np.array(all_idx, np.uint64),
+            log_size, a_next_rows,
+        )
+        folded_list = folded_rows.tolist()
+        for bi in range(B):
+            off, n = slices[bi]
+            folded_state[bi] = {
+                all_idx[off + j] >> 1: tuple(folded_list[off + j])
+                for j in range(n)
+            }
+
+        layer_queries = [
+            [qq >> (M - log_size) for qq in raw_lists[bi]] for bi in range(B)
+        ]
+        if batched_flavor is not None:
+            inner_paths[i] = expand_pair_paths_batched(
+                [log_size],
+                [p.stark_proof.fri_proof.inner_layers[i].commitment
+                 for p in proofs],
+                layer_queries,
+                streams,
+                [p.stark_proof.fri_proof.inner_layers[i].decommitment
+                 for p in proofs],
+                flavor=batched_flavor,
+            )
+        else:
+            inner_paths[i] = [
                 expand_pair_paths(
                     [log_size],
-                    layer.commitment,
-                    [qq >> (M - log_size) for qq in raw_all],
-                    np.array(stream, np.uint32),
-                    layer.decommitment,
+                    proof.stark_proof.fri_proof.inner_layers[i].commitment,
+                    layer_queries[bi],
+                    streams[bi],
+                    proof.stark_proof.fri_proof.inner_layers[i].decommitment,
                     hash_node_fn=hash_node_fn,
                 )
-            )
-            folded = new_folded
+                for bi, proof in enumerate(proofs)
+            ]
 
-        # last layer consistency (host-side sanity; device re-checks)
-        log_size -= 1
-        coeffs = [tuple(int(x) for x in row)
-                  for row in proof.stark_proof.fri_proof.last_layer_poly]
+    # last layer consistency (host-side sanity; device re-checks).
+    # fold([c0..], [f0, f1, ..]) = fold(first half, rest) + f0 * fold(second
+    # half, rest) — evaluated iteratively bottom-up: adjacent pairs combine
+    # with the most-doubled factor first, one vectorized pass per level.
+    log_size -= 1
+    for bi, proof in enumerate(proofs):
+        folded = folded_state[bi]
+        coeffs = np.asarray(
+            proof.stark_proof.fri_proof.last_layer_poly, np.uint32
+        )
         idxs = sorted(folded)
         px = _line_x(np.array(idxs, np.uint64), log_size)
         doublings = []
         x = px
-        for _ in range(len(coeffs).bit_length() - 1):
+        for _ in range(coeffs.shape[0].bit_length() - 1):
             doublings.append(x)
             x = circle.apoint_double_x(x)
 
-        def fold(vals, factors):
-            if len(vals) == 1:
-                return q.q_scalar(*vals[0])
-            half = len(vals) // 2
-            lhs = fold(vals[:half], factors[1:])
-            rhs = fold(vals[half:], factors[1:])
-            return q.q_add(lhs, q.q_mul_m31(rhs, factors[0]))
-
-        expected = _rows_of_q(fold(coeffs, doublings))  # (N, 4) via bcast
+        # components shaped (n_coeffs, N)
+        v = QM31(*(
+            np.broadcast_to(coeffs[:, k : k + 1], (coeffs.shape[0], px.size))
+            for k in range(4)
+        ))
+        for f in reversed(doublings):
+            even = QM31(*(c[0::2] for c in v))
+            odd = QM31(*(c[1::2] for c in v))
+            v = q.q_add(even, q.q_mul_m31(odd, f))
+        expected = np.stack(
+            [np.asarray(c, np.uint32)[0] for c in v], axis=-1
+        )
         got = np.array([folded[idx] for idx in idxs], np.uint32)
-        expected = np.broadcast_to(expected, got.shape)
         assert np.array_equal(got, expected), "last layer mismatch"
 
     inner_layer_paths = tuple(_stack_pair_paths(pp) for pp in inner_paths)

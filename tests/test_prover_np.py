@@ -108,3 +108,32 @@ def test_np_rejects_wrong_inputs(np_proof):
     )
     checks = verify_batch_np(spec, pa, ((1, (1, 0, 0, 0)),))
     assert not bool(np.asarray(checks["total_sum"]).all())
+
+
+def test_np_verify_jitted_batch(np_proof):
+    """Jitted batched device-path verification of without-poseidon proofs
+    (mirror of verify_plonk_without_poseidon,
+    examples/last-layer/src/main.rs:188-202): one compiled program checks a
+    replicated batch, and a corrupted lane fails while the others pass."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = NoPoseidonVerifierSpec.for_rows(np_proof.log_size, CONFIG)
+    pa = hints.prepare(
+        spec, [np_proof] * 4,
+        arrays_fn=from_proofs_np,
+        transcript_fn=transcript.run_transcript_np,
+    )
+    paj = jax.tree.map(jnp.asarray, pa)
+    fn = jax.jit(
+        lambda a: verify_batch_np(spec, a, INPUTS_RECURSIVE)["ok"]
+    )
+    ok = np.asarray(fn(paj))
+    assert ok.shape == (4,) and ok.all()
+
+    # corrupt one lane's sampled values: only that lane must fail
+    bad = np.asarray(pa.samples_flat).copy()
+    bad[2, 0, 0] ^= 1
+    pa_bad = pa._replace(samples_flat=bad)
+    ok2 = np.asarray(fn(jax.tree.map(jnp.asarray, pa_bad)))
+    assert not ok2[2] and ok2[[0, 1, 3]].all()

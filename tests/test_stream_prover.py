@@ -165,6 +165,99 @@ def test_prove_streamed_bit_exact_vs_host(monkeypatch):
     _assert_proofs_equal(host_proof, stream_proof)
 
 
+def test_prove_streamed_sha256_bit_exact_vs_host(monkeypatch):
+    """The sha256-flavor streamed pipeline (Sha256Poseidon31 chain level)
+    emits byte-identical proofs to the host sha-flavor prover."""
+    import jax
+
+    from recursive_stwo_tpu.proof.containers import FriConfig, PcsConfig
+    from recursive_stwo_tpu.prover.commit import Sha256CommittedTree
+    from recursive_stwo_tpu.prover.prove import prove
+    from recursive_stwo_tpu.prover.prove_sha256 import Sha256ProverChannel
+    from recursive_stwo_tpu.prover.stream import prove_streamed
+
+    from test_device_prover import _assert_proofs_equal
+
+    monkeypatch.setenv("RSTPU_STREAM_CHUNK_LOG", "9")
+    monkeypatch.setenv("RSTPU_STREAM_CUTOFF", "5")
+    monkeypatch.setenv("RSTPU_STREAM_LOG", "off")  # host twin stays host
+    trace = _small_trace()
+    config = PcsConfig(pow_bits=5, fri_config=FriConfig(1, 3, 9))
+
+    host_proof = prove(
+        trace, config,
+        channel=Sha256ProverChannel(), tree_cls=Sha256CommittedTree,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        stream_proof = prove_streamed(
+            trace, config, channel=Sha256ProverChannel(),
+            hash_flavor="sha256",
+        )
+    _assert_proofs_equal(host_proof, stream_proof)
+
+
+def test_prove_np_streamed_bit_exact_vs_host(monkeypatch):
+    """The streamed without-poseidon pipeline (last-layer output system)
+    emits byte-identical proofs to prove_np, in both tree flavors."""
+    import jax
+
+    from recursive_stwo_tpu.cs.system import PlonkWithoutPoseidonCS
+    from recursive_stwo_tpu.gadgets.fields import QM31Var
+    from recursive_stwo_tpu.proof.containers import FriConfig, PcsConfig
+    from recursive_stwo_tpu.prover.commit import Sha256CommittedTree
+    from recursive_stwo_tpu.prover.prove_np import prove_np
+    from recursive_stwo_tpu.prover.prove_sha256 import Sha256ProverChannel
+    from recursive_stwo_tpu.prover.stream import prove_np_streamed
+
+    monkeypatch.setenv("RSTPU_STREAM_CHUNK_LOG", "9")
+    monkeypatch.setenv("RSTPU_STREAM_CUTOFF", "5")
+    monkeypatch.setenv("RSTPU_STREAM_LOG", "off")
+
+    from recursive_stwo_tpu.cs import scalar
+
+    cs = PlonkWithoutPoseidonCS()
+    a = (12345, 678, 91011, 1213)
+    b = scalar.q_pow(a, 31)
+    av = QM31Var.new_witness(cs, a)
+    bv = QM31Var.new_witness(cs, b)
+    av.pow(31).equalverify(bv)
+    cs.pad()
+    cs.check_arithmetics()
+    cs.populate_logup_arguments()
+    trace = cs.generate_trace()
+    config = PcsConfig(pow_bits=5, fri_config=FriConfig(1, 3, 9))
+
+    def _np_proofs_equal(x, y):
+        assert x.log_size == y.log_size
+        np.testing.assert_array_equal(x.total_sum, y.total_sum)
+        sx, sy = x.stark_proof, y.stark_proof
+        np.testing.assert_array_equal(sx.commitments, sy.commitments)
+        assert sx.proof_of_work == sy.proof_of_work
+        for qa, qb in zip(sx.queried_values, sy.queried_values):
+            np.testing.assert_array_equal(qa, qb)
+        for da, db in zip(sx.decommitments, sy.decommitments):
+            np.testing.assert_array_equal(da.hash_witness, db.hash_witness)
+        np.testing.assert_array_equal(
+            sx.fri_proof.last_layer_poly, sy.fri_proof.last_layer_poly
+        )
+
+    host = prove_np(trace, config)
+    with jax.default_device(jax.devices("cpu")[0]):
+        streamed = prove_np_streamed(trace, config)
+    _np_proofs_equal(host, streamed)
+
+    host_sha = prove_np(
+        trace, config,
+        channel=Sha256ProverChannel(), tree_cls=Sha256CommittedTree,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        streamed_sha = prove_np_streamed(
+            trace, config,
+            channel=Sha256ProverChannel(), tree_cls=Sha256CommittedTree,
+        )
+    _np_proofs_equal(host_sha, streamed_sha)
+
+
 def test_prove_streamed_verifies(monkeypatch):
     """Streamed proofs pass the framework's fixture-validated verifier."""
     import jax
