@@ -126,6 +126,86 @@ def main():
     sec["host_prepare_ms_per_proof"] = round(prep_s * 1e3, 2)
     sec["e2e_distinct_proofs_per_sec"] = round(1.0 / (prep_s + 1.0 / headline), 1)
 
+    # ---- without-poseidon flavor: batched device verify ----
+    # mirror of verify_plonk_without_poseidon (the reference's last-layer
+    # output check, examples/last-layer/src/main.rs:188-202); committed
+    # fixture testdata/np_small.bin, plus the real chain bitcoin proof
+    # when the chain artifacts are on disk.
+    from recursive_stwo_tpu.proof.parse import (
+        parse_plonk_without_poseidon_proof,
+    )
+    from recursive_stwo_tpu.verifier import transcript as transcript_mod
+    from recursive_stwo_tpu.verifier.arrays import from_proofs_np
+    from recursive_stwo_tpu.verifier.spec import NoPoseidonVerifierSpec
+    from recursive_stwo_tpu.verifier.verify_np import verify_batch_np
+
+    def _np_flavor_rate(proof, batch_np, inner_inputs):
+        spec_n = NoPoseidonVerifierSpec.for_rows(proof.log_size, proof.config)
+        pa_n = hints.prepare(
+            spec_n, [proof],
+            arrays_fn=from_proofs_np,
+            transcript_fn=transcript_mod.run_transcript_np,
+        )
+        paj_n = jax.tree.map(jnp.asarray, tiled_batch(pa_n, batch_np))
+        fn_n = jax.jit(
+            lambda a: verify_batch_np(spec_n, a, inner_inputs)["ok"]
+        )
+        assert np.asarray(fn_n(paj_n)).all(), "np-flavor verify failed"
+        return batch_np / _time(lambda: fn_n(paj_n), max(reps // 2, 1))
+
+    fixdir = os.path.join(
+        os.path.dirname(__file__), "recursive_stwo_tpu", "testdata"
+    )
+    with open(os.path.join(fixdir, "np_small.bin"), "rb") as f:
+        np_small = parse_plonk_without_poseidon_proof(f.read())
+    sec["np_flavor_proofs_per_sec"] = round(
+        _np_flavor_rate(np_small, 512, verify.INPUTS_RECURSIVE), 1
+    )
+    btc_path = os.path.join(
+        os.path.dirname(__file__), "examples", "data", "bitcoin_proof.pkl"
+    )
+    if os.path.exists(btc_path):
+        import pickle
+
+        from recursive_stwo_tpu.verifier.verify_sha256 import (
+            verify_sha256np_host,
+        )
+
+        with open(btc_path, "rb") as f:
+            btc = pickle.load(f)
+        inner3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
+        assert np.asarray(verify_sha256np_host(btc, inner3)["ok"]).all()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            verify_sha256np_host(btc, inner3)
+        sec["bitcoin_np_host_verify_ms"] = round(
+            (time.perf_counter() - t0) / 3 * 1e3, 1
+        )
+
+    # ---- Sha256Poseidon31 flavor: host verify (chain level-14 output) ----
+    lvl14_path = os.path.join(
+        os.path.dirname(__file__), "examples", "data", "level14-1.pkl"
+    )
+    if os.path.exists(lvl14_path):
+        import pickle
+
+        from recursive_stwo_tpu.verifier.verify_sha256 import (
+            verify_sha256p31_host,
+        )
+
+        with open(lvl14_path, "rb") as f:
+            lvl14 = pickle.load(f)
+        inner3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
+        assert np.asarray(
+            verify_sha256p31_host(lvl14, inner3)["ok"]
+        ).all()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            verify_sha256p31_host(lvl14, inner3)
+        sec["sha256p31_host_verify_ms"] = round(
+            (time.perf_counter() - t0) / 3 * 1e3, 1
+        )
+
     # ---- kernel: Pallas Poseidon2-16 permutations ----
     from recursive_stwo_tpu.core import poseidon2
 

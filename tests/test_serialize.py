@@ -100,3 +100,42 @@ def test_without_poseidon_roundtrip():
     assert again.log_size == proof.log_size
     assert np.array_equal(again.total_sum, np.asarray(proof.total_sum))
     assert serialize_plonk_without_poseidon_proof(again) == data
+
+
+def test_np_small_fixture_verifies():
+    """The committed without-poseidon bench fixture
+    (testdata/np_small.bin): byte-identical round-trip, full batched
+    verification, and a corrupted sampled value is rejected (fast-tier
+    coverage of the verify_plonk_without_poseidon mirror,
+    /root/reference/examples/last-layer/src/main.rs:188-202)."""
+    from recursive_stwo_tpu.proof.parse import (
+        parse_plonk_without_poseidon_proof,
+    )
+    from recursive_stwo_tpu.proof.serialize import (
+        serialize_plonk_without_poseidon_proof,
+    )
+    from recursive_stwo_tpu.verifier import hints, transcript
+    from recursive_stwo_tpu.verifier.arrays import from_proofs_np
+    from recursive_stwo_tpu.verifier.spec import NoPoseidonVerifierSpec
+    from recursive_stwo_tpu.verifier.verify import INPUTS_RECURSIVE
+    from recursive_stwo_tpu.verifier.verify_np import verify_batch_np
+
+    with open(os.path.join(TESTDATA, "np_small.bin"), "rb") as f:
+        data = f.read()
+    proof = parse_plonk_without_poseidon_proof(data)
+    assert serialize_plonk_without_poseidon_proof(proof) == data
+
+    spec = NoPoseidonVerifierSpec.for_rows(proof.log_size, proof.config)
+    pa = hints.prepare(
+        spec, [proof],
+        arrays_fn=from_proofs_np,
+        transcript_fn=transcript.run_transcript_np,
+    )
+    checks = verify_batch_np(spec, pa, INPUTS_RECURSIVE)
+    assert bool(np.asarray(checks["ok"]).all())
+
+    bad = np.asarray(pa.samples_flat).copy()
+    bad[0, 0, 0] ^= 1
+    checks_bad = verify_batch_np(spec, pa._replace(samples_flat=bad),
+                                 INPUTS_RECURSIVE)
+    assert not bool(np.asarray(checks_bad["ok"]).all())
