@@ -68,9 +68,28 @@ def _kernel(in_ref, out_ref):
         # x * 2^k mod p == 31-bit rotation (canonical in, canonical out)
         return ((a << u32(k)) & u32(P)) + (a >> u32(31 - k))
 
+    def sq(a):
+        # squaring needs 3 16-bit partial products (a0*a0, a0*a1, a1*a1)
+        # instead of mul's 4 — pow5 is 142 invocations per permutation, so
+        # the saved multiplies are the kernel's hottest op.  Reduction
+        # chain identical to mul (m1 = 2*a0*a1 < 2**32: a0 < 2**16,
+        # a1 < 2**15 for canonical 31-bit inputs).
+        a0 = a & u32(0xFFFF)
+        a1 = a >> u32(16)
+        m0 = a0 * a0
+        m1 = (a0 * a1) << u32(1)
+        m3 = a1 * a1
+        t0 = (m0 & u32(P)) + (m0 >> u32(31))
+        t1 = ((m1 & u32(0x7FFF)) << u32(16)) + (m1 >> u32(15))
+        t1 = (t1 & u32(P)) + (t1 >> u32(31))
+        r = t0 + t1
+        r = (r & u32(P)) + (r >> u32(31))
+        r = r + m3 + m3
+        r = (r & u32(P)) + (r >> u32(31))
+        return jnp.where(r >= u32(P), r - u32(P), r)
+
     def pow5(a):
-        b = mul(a, a)
-        return mul(mul(b, b), a)
+        return mul(sq(sq(a)), a)
 
     def mds16(s):
         t = [None] * 16
@@ -145,6 +164,53 @@ def permute_lane_major(state_t):
     n_rows = state_t.shape[1]
     r_blk = R_BLK if n_rows % R_BLK == 0 else 8
     return _build(n_rows, r_blk)(state_t)
+
+
+def _kernel4(in_ref, out_ref):
+    # (1, 16, r_blk, 128) block: squeeze the lane dim and reuse _kernel's
+    # body via the same ref indexing convention
+    class _View:
+        def __init__(self, ref):
+            self._ref = ref
+
+        def __getitem__(self, i):
+            return self._ref[0, i]
+
+        def __setitem__(self, i, v):
+            self._ref[0, i] = v
+
+    _kernel(_View(in_ref), _View(out_ref))
+
+
+@lru_cache(maxsize=None)
+def _build4(n_lanes: int, n_rows: int, r_blk: int, interpret: bool = False):
+    """Pallas permute over (L, 16, R, 128) lane-major states: grid
+    (L, R//r_blk), so wiring code can keep a leading walk-lane axis
+    without any transpose before the kernel."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (n_lanes, n_rows // r_blk)
+    spec = pl.BlockSpec((1, 16, r_blk, 128), lambda l, i: (l, 0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel4,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_lanes, 16, n_rows, 128), jax.numpy.uint32
+        ),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=spec,
+        interpret=interpret,
+    )
+
+
+def permute_state4(state):
+    """(L, 16, R, 128) uint32 -> same shape; R a multiple of 8."""
+    L, _, R, _ = state.shape
+    r_blk = R_BLK if R % R_BLK == 0 else 8
+    return _build4(L, R, r_blk)(state)
 
 
 def permute(state):

@@ -8,13 +8,21 @@ the maximum depth and ran fixed 2-3 permutations per step, wasting ~3x the
 minimal work on masked lanes (inner FRI layers have no mid-walk columns,
 shallow walks idle while deep ones finish).
 
-This version compiles every walk into a straight-line program of generic
-micro-ops — each op is exactly ONE 16-wide permutation with selectable
-input wiring — and bin-packs the programs into a small number of scan
-lanes.  A walk occupies contiguous steps of one lane; its carry starts
-from per-step inputs (no reset steps) and its root equality is scattered
-into a per-walk result table at its final step.  Total permutation count
-equals the sum of per-walk minimal counts, independent of depth skew.
+Every walk compiles into a straight-line program of generic micro-ops —
+each op is exactly ONE 16-wide permutation with selectable input wiring —
+and the programs are bin-packed into a small number of scan lanes.  A walk
+occupies contiguous steps of one lane; its carry starts from per-step
+inputs (no reset steps) and its final digest is scattered into a per-walk
+table at its last step, compared against the commitment roots once after
+the scan.  Total permutation count equals the sum of per-walk minimal
+counts, independent of depth skew.
+
+All scan tensors are kept in the Pallas kernel's lane-major layout
+(walk-lane, 16-word, row, 128) for the whole scan, so no step transposes
+states on the way into or out of the permutation (ops/poseidon_pallas.py
+`permute_state4`); the only transposes are the one-time packing of the
+witness streams.  The (B, Q) proof/query axes are flattened into the
+(row, 128) tile axes.
 
 Op wiring (one permutation P(l || r) per step, rate half kept):
   node     l,r = bit-ordered (carry_s | in_a at walk start,
@@ -34,7 +42,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -60,8 +68,60 @@ def _is_jax(arr):
     return not isinstance(arr, np.ndarray)
 
 
-def _permute(state):
-    return poseidon2.permute(state)
+# ---------------------------------------------------------------------------
+# Lane-major layout helpers: (B, Q, 8) values <-> (8, R, 128) tiles
+# ---------------------------------------------------------------------------
+
+def _n_rows(B: int, Q: int) -> int:
+    """Rows of 128 states covering B*Q states, padded so the Pallas grid
+    divides evenly (multiples of 8 rows)."""
+    rows = -(-(B * Q) // 128)
+    return -(-rows // 8) * 8
+
+
+def _to_lm(arr, R: int):
+    """(B, Q, 8) -> (8, R, 128) zero-padded lane-major tile."""
+    xp = _xp(arr)
+    B, Q, _ = arr.shape
+    flat = arr.reshape(B * Q, 8).T
+    pad = R * 128 - B * Q
+    if pad:
+        flat = xp.concatenate(
+            [flat, xp.zeros((8, pad), xp.uint32)], axis=1
+        )
+    return flat.reshape(8, R, 128)
+
+
+def _bits_lm(bits, R: int):
+    """(B, Q) -> (R, 128) zero-padded."""
+    xp = _xp(bits)
+    B, Q = bits.shape
+    flat = bits.reshape(B * Q)
+    pad = R * 128 - B * Q
+    if pad:
+        flat = xp.concatenate([flat, xp.zeros((pad,), xp.uint32)])
+    return flat.reshape(R, 128)
+
+
+def _from_lm(lm, B: int, Q: int):
+    """(8, R, 128) -> (8, B, Q) (reshape + slice, no transpose)."""
+    return lm.reshape(8, -1)[:, : B * Q].reshape(8, B, Q)
+
+
+def _permute4(state):
+    """(L, 16, R, 128) permute; Pallas on accelerators, moveaxis fallback
+    through the scan-based permutation elsewhere (bit-identical)."""
+    if _is_jax(state):
+        from ..ops import poseidon_pallas as pp
+
+        if pp.available():
+            return pp.permute_state4(state)
+        import jax.numpy as jnp
+
+        return jnp.moveaxis(
+            poseidon2.permute(jnp.moveaxis(state, 1, -1)), -1, 1
+        )
+    return np.moveaxis(poseidon2.permute(np.moveaxis(state, 1, -1)), -1, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -71,13 +131,15 @@ def _permute(state):
 def absorb_packed(chains: List[object], lanes: int = 0) -> List[object]:
     """Capacity-absorb many (B, Q, n_i) column chains; one permutation per
     8-column chunk TOTAL (packed into `lanes` scan lanes), not per chunk
-    slot padded to the deepest chain.  Returns per-chain (B, Q, 8)."""
+    slot padded to the deepest chain.  Returns per-chain lane-major
+    (8, R, 128) capacity digests."""
     lanes = lanes or _lanes_default()
     xp = _xp(chains[0])
     B, Q = chains[0].shape[:2]
+    R = _n_rows(B, Q)
     C = len(chains)
 
-    # chunk each chain host-side into (B, Q, 8) blocks
+    # chunk each chain into lane-major (8, R, 128) blocks
     chunked: List[List[object]] = []
     for c in chains:
         n = c.shape[-1]
@@ -87,7 +149,7 @@ def absorb_packed(chains: List[object], lanes: int = 0) -> List[object]:
                 [c, xp.zeros(c.shape[:-1] + (pad,), xp.uint32)], axis=-1
             )
         c = c.reshape(B, Q, -1, 8)
-        chunked.append([c[:, :, k] for k in range(c.shape[2])])
+        chunked.append([_to_lm(c[:, :, k], R) for k in range(c.shape[2])])
 
     # greedy pack chains (contiguous) into lanes
     order = sorted(range(C), key=lambda i: -len(chunked[i]))
@@ -99,7 +161,7 @@ def absorb_packed(chains: List[object], lanes: int = 0) -> List[object]:
             lane_prog[ln].append((chunk, k == 0, ci if last else C))
     T = max(len(p) for p in lane_prog) if lane_prog else 0
 
-    chunk_in = xp.zeros((T, lanes, B, Q, 8), xp.uint32)
+    chunk_in = xp.zeros((T, lanes, 8, R, 128), xp.uint32)
     start = np.zeros((T, lanes), bool)
     out_id = np.full((T, lanes), C, np.int32)
     for ln, prog in enumerate(lane_prog):
@@ -113,15 +175,15 @@ def absorb_packed(chains: List[object], lanes: int = 0) -> List[object]:
 
     # seed the carries from an input tensor so varying-axes metadata
     # propagates under shard_map check_vma
-    seed = chains[0][..., :1] * xp.uint32(0)  # (B, Q, 1)
-    carry = xp.zeros((lanes, B, Q, 8), xp.uint32) + seed[None]
-    table = xp.zeros((C, B, Q, 8), xp.uint32) + seed[None]
+    seed = chunked[0][0][None] * xp.uint32(0)  # (1, 8, R, 128)
+    carry = xp.zeros((lanes, 8, R, 128), xp.uint32) + seed
+    table = xp.zeros((C, 8, R, 128), xp.uint32) + seed
 
     def body(state, inp):
         carry, table = state
         chunk, st, oid = inp
         cap = xp.where(st[:, None, None, None], xp.zeros_like(carry), carry)
-        out = _permute(xp.concatenate([chunk, cap], axis=-1))[..., 8:]
+        out = _permute4(xp.concatenate([chunk, cap], axis=1))[:, 8:]
         if _is_jax(table):
             table = table.at[oid].set(out, mode="drop")
         else:
@@ -148,11 +210,11 @@ def absorb_packed(chains: List[object], lanes: int = 0) -> List[object]:
 
 def leaf_rate_many(digests: List[object]) -> List[object]:
     """hash_node(None, cols) finalization = rate(permute([0^8 | cap]));
-    one batched permutation for all leaves."""
+    one batched permutation for all leaves.  Lane-major in and out."""
     xp = _xp(digests[0])
-    stacked = xp.stack(digests, axis=0)  # (W, B, Q, 8)
-    state = xp.concatenate([xp.zeros_like(stacked), stacked], axis=-1)
-    return list(_permute(state)[..., :8])
+    stacked = xp.stack(digests, axis=0)  # (W, 8, R, 128)
+    state = xp.concatenate([xp.zeros_like(stacked), stacked], axis=1)
+    return list(_permute4(state)[:, :8])
 
 
 # ---------------------------------------------------------------------------
@@ -164,8 +226,8 @@ class SingleWalk:
     depth: int
     queries: object  # (B, Q) positions at depth
     sibling_hashes: object  # (B, Q, depth, 8)
-    col_caps: Dict[int, object]  # level h -> (B, Q, 8) capacity digest
-    leaf: object  # (B, Q, 8) leaf hash
+    col_caps: Dict[int, object]  # level h -> (8, R, 128) capacity digest
+    leaf: object  # (8, R, 128) leaf hash (lane-major)
     root: object  # (B, 8)
 
 
@@ -174,10 +236,10 @@ class PairWalk:
     depth: int
     queries: object  # (B, Q) at depth
     sibling_hashes: object  # (B, Q, depth-1, 8), consumed in step order
-    self_caps: Dict[int, object]  # level -> (B, Q, 8) (verifier-computed)
+    self_caps: Dict[int, object]  # level -> (8, R, 128) (verifier-computed)
     sib_caps: Dict[int, object]
-    self_leaf: object  # (B, Q, 8)
-    sib_leaf: object  # (B, Q, 8)
+    self_leaf: object  # (8, R, 128)
+    sib_leaf: object  # (8, R, 128)
     root: object  # (B, 8)
 
 
@@ -186,31 +248,32 @@ _A_CARRY_S, _A_IN = 0, 1
 _B_CARRY_B, _B_IN_A, _B_IN_B = 0, 1, 2
 
 
-def _single_prog(wk: SingleWalk, wi: int) -> List[dict]:
+def _single_prog(wk: SingleWalk, wi: int, R: int) -> List[dict]:
     """Straight-line micro-op program for a single-path walk."""
     d = wk.depth
     col_at = {d - 1 - h: cap for h, cap in wk.col_caps.items()}
+    sib_lm = [_to_lm(wk.sibling_hashes[:, :, t], R) for t in range(d)]
     steps = []
     for t in range(d):
         steps.append(dict(
             a_sel=_A_IN if t == 0 else _A_CARRY_S,
             b_sel=_B_IN_B,
             in_a=wk.leaf if t == 0 else None,
-            in_b=wk.sibling_hashes[:, :, t],
-            bit=(wk.queries >> np.uint32(t)) & np.uint32(1),
-            swap=True, write_b=False, check=None, walk=wi,
+            in_b=sib_lm[t],
+            bit=_bits_lm((wk.queries >> np.uint32(t)) & np.uint32(1), R),
+            swap=True, write_b=False, walk=wi,
         ))
         if t in col_at:
             steps.append(dict(
                 a_sel=_A_CARRY_S, b_sel=_B_IN_A,
                 in_a=col_at[t], in_b=None, bit=None,
-                swap=False, write_b=False, check=None, walk=wi,
+                swap=False, write_b=False, walk=wi,
             ))
-    steps[-1]["check"] = wk.root
+    steps[-1]["last"] = True
     return steps
 
 
-def _pair_prog(wk: PairWalk, wi: int) -> List[dict]:
+def _pair_prog(wk: PairWalk, wi: int, R: int) -> List[dict]:
     """Dual-track FRI pair walk.  The sibling track value entering node
     step t is: sib_leaf (t=0), the raw per-step sibling hash (no columns
     at t-1), or P(sibling hash || sibling capacity) written to carry_b by
@@ -218,6 +281,10 @@ def _pair_prog(wk: PairWalk, wi: int) -> List[dict]:
     d = wk.depth
     col_at = {d - 1 - h: (cap, wk.sib_caps[h])
               for h, cap in wk.self_caps.items()}
+    sib_lm = [
+        _to_lm(wk.sibling_hashes[:, :, t], R)
+        for t in range(wk.sibling_hashes.shape[2])
+    ]
     steps = []
     for t in range(d):
         if t == 0:
@@ -225,28 +292,28 @@ def _pair_prog(wk: PairWalk, wi: int) -> List[dict]:
         elif (t - 1) in col_at:
             b_sel, in_b = _B_CARRY_B, None
         else:
-            b_sel, in_b = _B_IN_B, wk.sibling_hashes[:, :, t - 1]
+            b_sel, in_b = _B_IN_B, sib_lm[t - 1]
         steps.append(dict(
             a_sel=_A_IN if t == 0 else _A_CARRY_S,
             b_sel=b_sel,
             in_a=wk.self_leaf if t == 0 else None,
             in_b=in_b,
-            bit=(wk.queries >> np.uint32(t)) & np.uint32(1),
-            swap=True, write_b=False, check=None, walk=wi,
+            bit=_bits_lm((wk.queries >> np.uint32(t)) & np.uint32(1), R),
+            swap=True, write_b=False, walk=wi,
         ))
         if t in col_at:
             scap, bcap = col_at[t]
             steps.append(dict(
                 a_sel=_A_CARRY_S, b_sel=_B_IN_A,
                 in_a=scap, in_b=None, bit=None,
-                swap=False, write_b=False, check=None, walk=wi,
+                swap=False, write_b=False, walk=wi,
             ))
             steps.append(dict(
                 a_sel=_A_IN, b_sel=_B_IN_B,
-                in_a=wk.sibling_hashes[:, :, t], in_b=bcap, bit=None,
-                swap=False, write_b=True, check=None, walk=wi,
+                in_a=sib_lm[t], in_b=bcap, bit=None,
+                swap=False, write_b=True, walk=wi,
             ))
-    steps[-1]["check"] = wk.root
+    steps[-1]["last"] = True
     return steps
 
 
@@ -256,18 +323,20 @@ def walk_scan(
     """Run every walk; returns (single_oks, pair_oks) of (B,) bools.
 
     Total permutations = sum over walks of (depth + column ops) — the
-    minimum — bin-packed into `lanes` scan lanes of near-equal length."""
+    minimum — bin-packed into `lanes` scan lanes of near-equal length.
+    Each walk's final carry digest is scattered into a per-walk table;
+    root equality is one batched compare after the scan."""
     lanes = lanes or _lanes_default()
     all_walks = list(singles) + list(pairs)
     NW = len(all_walks)
-    xp = _xp(all_walks[0].queries if singles or pairs else None)
-    first = singles[0].leaf if singles else pairs[0].self_leaf
-    B, Q = first.shape[:2]
+    xp = _xp(all_walks[0].queries)
+    B, Q = all_walks[0].queries.shape[:2]
+    R = _n_rows(B, Q)
 
     progs = [
-        _single_prog(wk, wi) for wi, wk in enumerate(singles)
+        _single_prog(wk, wi, R) for wi, wk in enumerate(singles)
     ] + [
-        _pair_prog(wk, wi + len(singles)) for wi, wk in enumerate(pairs)
+        _pair_prog(wk, wi + len(singles), R) for wi, wk in enumerate(pairs)
     ]
 
     order = sorted(range(NW), key=lambda i: -len(progs[i]))
@@ -277,16 +346,15 @@ def walk_scan(
         lane_prog[ln].extend(progs[wi])
     T = max(len(p) for p in lane_prog)
 
-    in_a = xp.zeros((T, lanes, B, Q, 8), xp.uint32)
-    in_b = xp.zeros((T, lanes, B, Q, 8), xp.uint32)
-    bits = xp.zeros((T, lanes, B, Q), xp.uint32)
-    root_in = xp.zeros((T, lanes, B, 8), xp.uint32)
+    in_a = xp.zeros((T, lanes, 8, R, 128), xp.uint32)
+    in_b = xp.zeros((T, lanes, 8, R, 128), xp.uint32)
+    bits = xp.zeros((T, lanes, R, 128), xp.uint32)
     a_is_in = np.zeros((T, lanes), bool)
     b_is_ina = np.zeros((T, lanes), bool)
     b_is_inb = np.zeros((T, lanes), bool)
     swapf = np.zeros((T, lanes), bool)
     wbf = np.zeros((T, lanes), bool)
-    chk_id = np.full((T, lanes), NW, np.int32)
+    dig_id = np.full((T, lanes), NW, np.int32)
 
     def setv(tgt, sl, val):
         if _is_jax(tgt):
@@ -307,56 +375,60 @@ def walk_scan(
             b_is_inb[t, ln] = s["b_sel"] == _B_IN_B
             swapf[t, ln] = s["swap"]
             wbf[t, ln] = s["write_b"]
-            if s["check"] is not None:
-                root_in = setv(root_in, (t, ln), s["check"])
-                chk_id[t, ln] = s["walk"]
+            if s.get("last"):
+                dig_id[t, ln] = s["walk"]
 
     # input-derived seeds keep varying-axes metadata under check_vma
-    seed = first[..., :1] * xp.uint32(0)  # (B, Q, 1)
-    carry_s = xp.zeros((lanes, B, Q, 8), xp.uint32) + seed[None]
-    carry_b = xp.zeros((lanes, B, Q, 8), xp.uint32) + seed[None]
-    ok_tab = xp.zeros((NW, B, Q), bool) | (seed[None, ..., 0] != 0)
+    first = singles[0].leaf if singles else pairs[0].self_leaf
+    seed = first[None] * xp.uint32(0)  # (1, 8, R, 128)
+    carry_s = xp.zeros((lanes, 8, R, 128), xp.uint32) + seed
+    carry_b = xp.zeros((lanes, 8, R, 128), xp.uint32) + seed
+    dig_tab = xp.zeros((NW, 8, R, 128), xp.uint32) + seed
 
     def body(state, inp):
-        s_h, b_h, ok_tab = state
-        ia, ib, bitv, rootv, ai, bia, bib, sw, wb, cid = inp
+        s_h, b_h, dig_tab = state
+        ia, ib, bitv, ai, bia, bib, sw, wb, did = inp
         A = xp.where(ai[:, None, None, None], ia, s_h)
         Bv = xp.where(
             bia[:, None, None, None], ia,
             xp.where(bib[:, None, None, None], ib, b_h),
         )
-        c = ((bitv != 0) & sw[:, None, None])[..., None]
+        c = ((bitv != 0) & sw[:, None, None])[:, None]  # (L, 1, R, 128)
         left = xp.where(c, Bv, A)
         right = xp.where(c, A, Bv)
-        out = _permute(xp.concatenate([left, right], axis=-1))[..., :8]
+        out = _permute4(xp.concatenate([left, right], axis=1))[:, :8]
         wbm = wb[:, None, None, None]
         new_s = xp.where(wbm, s_h, out)
         new_b = xp.where(wbm, out, b_h)
-        eq = xp.all(new_s == rootv[:, :, None, :], axis=-1)  # (L, B, Q)
-        if _is_jax(ok_tab):
-            ok_tab = ok_tab.at[cid].set(eq, mode="drop")
+        if _is_jax(dig_tab):
+            dig_tab = dig_tab.at[did].set(new_s, mode="drop")
         else:
             for ln in range(lanes):
-                if cid[ln] < NW:
-                    ok_tab[cid[ln]] = eq[ln]
-        return (new_s, new_b, ok_tab), None
+                if did[ln] < NW:
+                    dig_tab[did[ln]] = new_s[ln]
+        return (new_s, new_b, dig_tab), None
 
     inputs = (
-        in_a, in_b, bits, root_in,
+        in_a, in_b, bits,
         xp.asarray(a_is_in), xp.asarray(b_is_ina), xp.asarray(b_is_inb),
-        xp.asarray(swapf), xp.asarray(wbf), xp.asarray(chk_id),
+        xp.asarray(swapf), xp.asarray(wbf), xp.asarray(dig_id),
     )
     if _is_jax(carry_s):
         import jax
 
-        (carry_s, carry_b, ok_tab), _ = jax.lax.scan(
-            body, (carry_s, carry_b, ok_tab), inputs
+        (carry_s, carry_b, dig_tab), _ = jax.lax.scan(
+            body, (carry_s, carry_b, dig_tab), inputs
         )
     else:
-        state = (carry_s, carry_b, ok_tab)
+        state = (carry_s, carry_b, dig_tab)
         for t in range(T):
             state, _ = body(state, tuple(arr[t] for arr in inputs))
-        ok_tab = state[2]
+        dig_tab = state[2]
 
-    oks = [ok_tab[wi].all(axis=-1) for wi in range(NW)]
+    # one batched root compare: dig_tab (NW, 8, R, 128) -> (NW, 8, B, Q)
+    oks = []
+    for wi, wk in enumerate(all_walks):
+        dig = _from_lm(dig_tab[wi], B, Q)  # (8, B, Q)
+        eq = (dig == wk.root.T[:, :, None]).all(axis=0)  # (B, Q)
+        oks.append(eq.all(axis=-1))
     return oks[: len(singles)], oks[len(singles):]
