@@ -155,6 +155,32 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] output proof verified "
           f"({len(checks)-1} checks) -> {os.path.join(DATA, 'bitcoin_proof.pkl')}")
 
+    # one auditable row per run, like recursion_chain.py (VERDICT r3 #8)
+    from recursive_stwo_tpu.prover import prove as prove_mod
+
+    log_row = {
+        "run": time.strftime("%Y%m%dT%H%M%S"),
+        "level": "last_layer",
+        "input": "level14-1" if from_chain else "standalone",
+        "rows": len(cs.a_wire),
+        "public_inputs": cs.num_input,
+        "channel_out": "sha256",
+        "config_out": f"pow={out_config.pow_bits} FRI("
+        f"{out_config.fri_config.log_last_layer_degree_bound},"
+        f"{out_config.fri_config.log_blowup_factor},"
+        f"{out_config.fri_config.n_queries})",
+        "flow": prove_mod.LAST_FLOW,
+        "total_s": round(time.time() - t0, 1),
+        "artifact": "bitcoin_proof.pkl",
+    }
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "docs",
+                     "chain_log.jsonl"), "a"
+    ) as f:
+        import json
+
+        f.write(json.dumps(log_row) + "\n")
+
 
 if __name__ == "__main__":
     main()
