@@ -167,28 +167,45 @@ def main():
     btc_path = os.path.join(
         os.path.dirname(__file__), "examples", "data", "bitcoin_proof.pkl"
     )
-    if os.path.exists(btc_path):
+    lvl14_path = os.path.join(
+        os.path.dirname(__file__), "examples", "data", "level14-1.pkl"
+    )
+    if os.path.exists(btc_path) and os.path.exists(lvl14_path):
         import pickle
 
+        from recursive_stwo_tpu.recursion.pipeline import build_last_circuit
+        from recursive_stwo_tpu.verifier import sha256_merkle
         from recursive_stwo_tpu.verifier.verify_sha256 import (
+            run_transcript_sha256p31,
             verify_sha256np_host,
         )
 
         with open(btc_path, "rb") as f:
             btc = pickle.load(f)
+        with open(lvl14_path, "rb") as f:
+            lvl14 = pickle.load(f)
+        # the bitcoin proof's public inputs are the packed FS/decommit
+        # vector of the last-layer circuit (last-layer/src/main.rs:113-186)
+        # -- reconstruct them by building the circuit (no proving)
         inner3 = ((1, (1, 0, 0, 0)), (2, (0, 1, 0, 0)), (3, (0, 0, 1, 0)))
-        assert np.asarray(verify_sha256np_host(btc, inner3)["ok"]).all()
+        cs_last, _ = build_last_circuit(
+            lvl14, list(inner3),
+            transcript_fn=lambda s, pa: run_transcript_sha256p31(s, lvl14),
+            hash_node_fn=sha256_merkle.hash_node,
+        )
+        btc_inputs = tuple(
+            (i + 1, tuple(int(x) for x in cs_last.value(i + 1)))
+            for i in range(cs_last.num_input)
+        )
+        assert np.asarray(verify_sha256np_host(btc, btc_inputs)["ok"]).all()
         t0 = time.perf_counter()
         for _ in range(3):
-            verify_sha256np_host(btc, inner3)
+            verify_sha256np_host(btc, btc_inputs)
         sec["bitcoin_np_host_verify_ms"] = round(
             (time.perf_counter() - t0) / 3 * 1e3, 1
         )
 
     # ---- Sha256Poseidon31 flavor: host verify (chain level-14 output) ----
-    lvl14_path = os.path.join(
-        os.path.dirname(__file__), "examples", "data", "level14-1.pkl"
-    )
     if os.path.exists(lvl14_path):
         import pickle
 

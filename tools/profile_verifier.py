@@ -62,22 +62,28 @@ def _time(fn, *args, reps=10):
 #   mul_pow2 (rotation):         4 cheap
 #
 # call counts: 1,360 modular adds (initial MDS + 8 full rounds x (16 RC +
-# 84 MDS adds) + 14 partial rounds x 34), 426 M31 muls (142 pow5 x 3),
-# 210 rotations (14 rounds x 15 lanes).
-N_MULS_PER_PERM = 426 * 4
-N_CHEAP_PER_PERM = 1360 * 4 + 426 * 26 + 14 * 15 * 4
+# 84 MDS adds) + 14 partial rounds x 34), 426 M31 mul-equivalents
+# (142 pow5 = 2 squares at 3 products + 1 generic mul at 4 = 10 u32
+# multiplies each since the round-4 square-specialized S-box), 210
+# rotations (14 rounds x 15 lanes).
+N_MULS_PER_PERM = 142 * 10
+N_CHEAP_PER_PERM = 1360 * 4 + 426 * 26 + 142 + 14 * 15 * 4
 
 
 # Analytic VPU peak for the roofline.  Micro-measured elementwise
 # ceilings proved unusable both ways: a K-deep dependent chain measures
 # op LATENCY (r2: fraction_of_sol > 1), and multi-stream chains get
 # restructured by XLA fusion into something memory-shaped (fraction 12x
-# too small).  The v5e TensorCore has 4 VPUs of (8, 128) lanes at
-# ~940 MHz => ~3.85e12 32-bit vector ops/s.  Counting every u32 multiply
-# as ONE issue slot is conservative (integer multiplies cost >= 1 slot),
-# so the resulting speed-of-light is an upper bound and the reported
-# fraction a lower bound.
-VPU_PEAK_OPS_PER_SEC = 4 * 8 * 128 * 940e6
+# too small).  The v5e TensorCore has 4 VPUs of (8, 128) lanes; the
+# round-3 roofline assumed ~940 MHz (the v4 clock), but the round-4
+# lane-major hash scans measured ABOVE that light (251M perms/s implied
+# vs 202M "peak"), falsifying the clock assumption.  v5e's published
+# 197 bf16 TFLOP/s through 4 128x128 MXUs implies ~1.5 GHz; the roofline
+# now uses that => ~6.1e12 32-bit vector ops/s.  Counting every u32
+# multiply as ONE issue slot is conservative (integer multiplies cost
+# >= 1 slot), so the resulting speed-of-light is an upper bound and the
+# reported fraction a lower bound.
+VPU_PEAK_OPS_PER_SEC = 4 * 8 * 128 * 1.5e9
 
 
 def main():
