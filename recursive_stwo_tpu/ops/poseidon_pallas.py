@@ -27,7 +27,11 @@ from ..core.poseidon2 import (
 )
 
 P = 0x7FFFFFFF
-R_BLK = 32  # rows of 128 lanes per kernel instance (16*32*128*4B = 256 KiB/buf)
+# rows of 128 lanes per kernel instance (16*32*128*4B = 256 KiB/buf at 32);
+# overridable for block-size sweeps
+import os as _os
+
+R_BLK = int(_os.environ.get("RSTPU_PALLAS_RBLK", "32"))
 
 
 def _kernel(in_ref, out_ref):
