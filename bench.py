@@ -127,7 +127,25 @@ def main():
     prep_s = min(prep_trials)
     sec["host_prepare_ms_per_proof"] = round(prep_s * 1e3, 2)
     sec["host_prepare_trials_ms"] = [round(t * 1e3, 2) for t in prep_trials]
-    sec["e2e_distinct_proofs_per_sec"] = round(1.0 / (prep_s + 1.0 / headline), 1)
+
+    # pipelined end-to-end: the device verifies batch k (async dispatch)
+    # while the host prepares batch k+1 — the production streaming shape.
+    # Every batch is prepared from scratch (distinct-proof cost).
+    fn_p = jax.jit(
+        lambda a: verify.verify_batch(spec, a, verify.INPUTS_ONE)["ok"]
+    )
+    paj_p = jax.tree.map(jnp.asarray, hints.prepare(spec, prep_batch))
+    fn_p(paj_p).block_until_ready()
+    n_pipe = int(os.environ.get("BENCH_PIPE_BATCHES", "8"))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_pipe):
+        out = fn_p(paj_p)  # async: device works while the host prepares
+        paj_p = jax.tree.map(jnp.asarray, hints.prepare(spec, prep_batch))
+    ok_pipe = np.asarray(out.block_until_ready())
+    dt_pipe = time.perf_counter() - t0
+    assert ok_pipe.all()
+    sec["e2e_distinct_proofs_per_sec"] = round(n_pipe * b_prep / dt_pipe, 1)
 
     # ---- without-poseidon flavor: batched device verify ----
     # mirror of verify_plonk_without_poseidon (the reference's last-layer

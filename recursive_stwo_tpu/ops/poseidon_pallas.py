@@ -31,7 +31,16 @@ P = 0x7FFFFFFF
 # overridable for block-size sweeps
 import os as _os
 
-R_BLK = int(_os.environ.get("RSTPU_PALLAS_RBLK", "32"))
+def _r_blk_override() -> int:
+    v = int(_os.environ.get("RSTPU_PALLAS_RBLK", "32"))
+    if v <= 0 or v % 8:
+        raise ValueError(
+            f"RSTPU_PALLAS_RBLK must be a positive multiple of 8, got {v}"
+        )
+    return v
+
+
+R_BLK = _r_blk_override()
 
 
 def _kernel(in_ref, out_ref):

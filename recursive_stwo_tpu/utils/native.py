@@ -17,6 +17,7 @@ import numpy as np
 _SRC = os.path.join(
     os.path.dirname(__file__), "..", "..", "native", "poseidon31.cpp"
 )
+_PATH_SRC = os.path.join(os.path.dirname(_SRC), "pathexpand.cpp")
 _LIB = os.path.join(os.path.dirname(_SRC), "libposeidon31.so")
 
 _lock = threading.Lock()
@@ -47,13 +48,13 @@ def _load():
         _tried = True
         try:
             _set_omp_threads()
-            if not os.path.exists(_LIB) or os.path.getmtime(
-                _LIB
-            ) < os.path.getmtime(_SRC):
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
+                os.path.getmtime(_SRC), os.path.getmtime(_PATH_SRC)
+            ):
                 subprocess.run(
                     [
                         "g++", "-O3", "-march=native", "-mno-sha", "-fopenmp",
-                        "-shared", "-fPIC", "-o", _LIB, _SRC,
+                        "-shared", "-fPIC", "-o", _LIB, _SRC, _PATH_SRC,
                     ],
                     check=True,
                     capture_output=True,
@@ -83,6 +84,21 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
                 ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint32),
             ]
+            _u32p_ = ctypes.POINTER(ctypes.c_uint32)
+            _i64p_ = ctypes.POINTER(ctypes.c_int64)
+            _u64p_ = ctypes.POINTER(ctypes.c_uint64)
+            lib.rstpu_expand_single_paths.argtypes = [
+                ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, _i64p_,
+                _u32p_, _u64p_, _u32p_, _u64p_, _u32p_, _u32p_, _u32p_,
+                _u32p_,
+            ]
+            lib.rstpu_expand_single_paths.restype = ctypes.c_int
+            lib.rstpu_expand_pair_paths.argtypes = [
+                ctypes.c_uint32, ctypes.c_uint32, _u32p_, ctypes.c_uint32,
+                ctypes.c_uint32, _i64p_, _u32p_, _u64p_, _u32p_, _u64p_,
+                _u32p_, _u32p_, _u32p_, _u32p_,
+            ]
+            lib.rstpu_expand_pair_paths.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -415,3 +431,247 @@ def poseidon_node_level(
             ch.ctypes.data_as(_u32p), None, 0, N, out.ctypes.data_as(_u32p)
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native path expansion (native/pathexpand.cpp) — the C++ twin of
+# verifier/hints.py expand_single_paths_batched / expand_pair_paths_batched
+# ---------------------------------------------------------------------------
+
+_EXPAND_ERRORS = {
+    -1: "value witness exhausted (corrupted proof?)",
+    -2: "hash witness exhausted (corrupted proof?)",
+    -3: "unconsumed witness",
+    -4: "tree root mismatch",
+}
+
+
+def _concat_offsets(arrs, unit=1):
+    off = np.zeros(len(arrs) + 1, np.uint64)
+    pos = 0
+    for i, a in enumerate(arrs):
+        off[i] = pos
+        pos += a.size // unit
+    off[-1] = pos
+    if pos:
+        blob = np.ascontiguousarray(
+            np.concatenate([a.ravel() for a in arrs]), np.uint32
+        )
+    else:
+        blob = np.zeros(1, np.uint32)
+    return blob, off
+
+
+def expand_single_paths_batch(
+    max_log: int,
+    raw_queries: np.ndarray,
+    values_list,
+    n_columns_per_log_size: dict,
+    hash_witness_list,
+    roots: np.ndarray,
+):
+    """(sib (B, Q, max_log, 8), {log: (B, Q, ncols)}) via C++."""
+    lib = _load()
+    assert lib is not None
+    B, Q = raw_queries.shape
+    rq = np.ascontiguousarray(raw_queries, np.int64)
+    vals, voff = _concat_offsets(
+        [np.asarray(v, np.uint32) for v in values_list]
+    )
+    hws, hoff = _concat_offsets(
+        [np.asarray(h, np.uint32) for h in hash_witness_list], unit=8
+    )
+    ncl = np.zeros(max_log + 1, np.uint32)
+    for lvl, n in n_columns_per_log_size.items():
+        ncl[lvl] = n
+    roots_c = np.ascontiguousarray(roots, np.uint32)
+    sib = np.empty((B, Q, max_log, 8), np.uint32)
+    total_cols = int(sum(ncl)) * B * Q
+    cols_buf = np.empty(max(total_cols, 1), np.uint32)
+    rc = lib.rstpu_expand_single_paths(
+        B, max_log, Q,
+        rq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(_u32p),
+        voff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        hws.ctypes.data_as(_u32p),
+        hoff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ncl.ctypes.data_as(_u32p), roots_c.ctypes.data_as(_u32p),
+        sib.ctypes.data_as(_u32p), cols_buf.ctypes.data_as(_u32p),
+    )
+    assert rc == 0, _EXPAND_ERRORS.get(rc, f"path expansion error {rc}")
+    columns = {}
+    pos = 0
+    for lvl in range(max_log, -1, -1):
+        if ncl[lvl]:
+            n = int(ncl[lvl])
+            columns[lvl] = cols_buf[pos : pos + B * Q * n].reshape(B, Q, n)
+            pos += B * Q * n
+        elif lvl in n_columns_per_log_size:
+            columns[lvl] = np.zeros((B, Q, 0), np.uint32)
+    return sib, columns
+
+
+def expand_pair_paths_batch(
+    log_sizes_with_data,
+    roots: np.ndarray,
+    leaf_queries: np.ndarray,
+    values_list,
+    hash_witness_list,
+):
+    """(sib (B, Q, depth-1, 8), self {log: (B, Q, 4)}, sibling {log: ...})
+    via C++."""
+    lib = _load()
+    assert lib is not None
+    B, Q = leaf_queries.shape
+    data_logs = np.asarray(list(log_sizes_with_data), np.uint32)
+    max_log = int(data_logs.max())
+    lq = np.ascontiguousarray(leaf_queries, np.int64)
+    vals, voff = _concat_offsets(
+        [np.asarray(v, np.uint32) for v in values_list]
+    )
+    hws, hoff = _concat_offsets(
+        [np.asarray(h, np.uint32) for h in hash_witness_list], unit=8
+    )
+    roots_c = np.ascontiguousarray(roots, np.uint32)
+    depth_out = max(max_log - 1, 0)
+    sib = np.empty((B, Q, depth_out, 8), np.uint32)
+    self_buf = np.empty((len(data_logs), B, Q, 4), np.uint32)
+    sibc_buf = np.empty((len(data_logs), B, Q, 4), np.uint32)
+    rc = lib.rstpu_expand_pair_paths(
+        B, len(data_logs), data_logs.ctypes.data_as(_u32p), max_log, Q,
+        lq.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vals.ctypes.data_as(_u32p),
+        voff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        hws.ctypes.data_as(_u32p),
+        hoff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        roots_c.ctypes.data_as(_u32p), sib.ctypes.data_as(_u32p),
+        self_buf.ctypes.data_as(_u32p), sibc_buf.ctypes.data_as(_u32p),
+    )
+    assert rc == 0, _EXPAND_ERRORS.get(rc, f"path expansion error {rc}")
+    self_cols = {
+        int(lvl): self_buf[i] for i, lvl in enumerate(data_logs)
+    }
+    sib_cols = {
+        int(lvl): sibc_buf[i] for i, lvl in enumerate(data_logs)
+    }
+    return sib, self_cols, sib_cols
+
+
+def _fri_argtypes(lib):
+    if getattr(lib, "_fri_sig", False):
+        return
+    u32 = ctypes.c_uint32
+    lib.rstpu_fri_fold_hints.argtypes = [
+        u32, u32, u32, u32, _u32p, u32,
+        ctypes.POINTER(ctypes.c_int64),                      # raw_queries
+        _u32p, _u32p, u32,                                   # answers, alphas
+        _u32p, _u32p,                                        # yinv, xinv
+        _u32p, ctypes.POINTER(ctypes.c_uint64),              # fl_wit
+        _u32p, ctypes.POINTER(ctypes.c_uint64),              # fl_hw
+        _u32p,                                               # fl_roots
+        _u32p, ctypes.POINTER(ctypes.c_uint64),              # in_wit
+        _u32p, ctypes.POINTER(ctypes.c_uint64),              # in_hw
+        _u32p,                                               # in_roots
+        _u32p, u32,                                          # ll_coeffs
+        _u32p, u32,                                          # ll_xs
+        _u32p, _u32p, _u32p, _u32p, _u32p, _u32p,            # outputs
+    ]
+    lib.rstpu_fri_fold_hints.restype = ctypes.c_int
+    lib._fri_sig = True
+
+
+_FRI_ERRORS = dict(_EXPAND_ERRORS)
+_FRI_ERRORS[-5] = "fold state / first-layer pair mismatch"
+_FRI_ERRORS[-6] = "last layer mismatch"
+
+
+def fri_fold_hints(
+    Q: int, M: int, group_logs, n_inner: int,
+    raw_queries: np.ndarray,           # (B, Q) int64
+    answers: np.ndarray,               # (n_groups, B, Q, 4)
+    alphas: np.ndarray,                # (n_alpha, B, 4)
+    yinv_fl: np.ndarray,               # (n_groups, B, Q)
+    xinv_inner: np.ndarray,            # (n_inner, B, Q) (dummy if 0)
+    fl_wit_list, fl_hw_list, fl_roots: np.ndarray,
+    in_wit_lists, in_hw_lists, in_roots: np.ndarray,
+    ll_coeffs: np.ndarray,             # (B, n_coeffs, 4)
+    ll_xs: np.ndarray,                 # (n_doubles, B, Q)
+):
+    """Fused first-layer rebuild + folds + inner layers + pair expansion +
+    last-layer check (native/pathexpand.cpp::rstpu_fri_fold_hints).
+
+    Returns (fl_sib, fl_self, fl_sibc, [per-layer (sib, self, sibc)])."""
+    lib = _load()
+    assert lib is not None
+    _fri_argtypes(lib)
+    B = raw_queries.shape[0]
+    n_groups = len(group_logs)
+    gl = np.asarray(list(group_logs), np.uint32)
+    raw = np.ascontiguousarray(raw_queries, np.int64)
+    ans = np.ascontiguousarray(answers, np.uint32)
+    alph = np.ascontiguousarray(alphas, np.uint32)
+    yinv = np.ascontiguousarray(yinv_fl, np.uint32)
+    xinv = np.ascontiguousarray(xinv_inner, np.uint32)
+    fl_wit, fl_woff = _concat_offsets(
+        [np.asarray(w, np.uint32) for w in fl_wit_list], unit=4
+    )
+    fl_hw, fl_hoff = _concat_offsets(
+        [np.asarray(h, np.uint32) for h in fl_hw_list], unit=8
+    )
+    flr = np.ascontiguousarray(fl_roots, np.uint32)
+    in_wit, in_woff = _concat_offsets(
+        [np.asarray(w, np.uint32) for ws in in_wit_lists for w in ws],
+        unit=4,
+    )
+    in_hw, in_hoff = _concat_offsets(
+        [np.asarray(h, np.uint32) for hs in in_hw_lists for h in hs],
+        unit=8,
+    )
+    inr = (
+        np.ascontiguousarray(in_roots, np.uint32)
+        if n_inner
+        else np.zeros(1, np.uint32)
+    )
+    llc = np.ascontiguousarray(ll_coeffs, np.uint32)
+    n_coeffs = llc.shape[1]
+    llx = np.ascontiguousarray(ll_xs, np.uint32)
+    n_doubles = n_coeffs.bit_length() - 1
+
+    depth_fl = max(M - 1, 0)
+    fl_sib = np.empty((B, Q, depth_fl, 8), np.uint32)
+    fl_self = np.empty((n_groups, B, Q, 4), np.uint32)
+    fl_sibc = np.empty((n_groups, B, Q, 4), np.uint32)
+    in_depths = [max(M - 1 - i - 1, 0) for i in range(n_inner)]
+    in_sib = np.empty((sum(in_depths) * B * Q * 8 or 1,), np.uint32)
+    in_self = np.empty((max(n_inner, 1), B, Q, 4), np.uint32)
+    in_sibc = np.empty((max(n_inner, 1), B, Q, 4), np.uint32)
+
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.rstpu_fri_fold_hints(
+        B, Q, M, n_groups, gl.ctypes.data_as(_u32p), n_inner,
+        raw.ctypes.data_as(i64p),
+        ans.ctypes.data_as(_u32p), alph.ctypes.data_as(_u32p),
+        alph.shape[0],
+        yinv.ctypes.data_as(_u32p), xinv.ctypes.data_as(_u32p),
+        fl_wit.ctypes.data_as(_u32p), fl_woff.ctypes.data_as(u64p),
+        fl_hw.ctypes.data_as(_u32p), fl_hoff.ctypes.data_as(u64p),
+        flr.ctypes.data_as(_u32p),
+        in_wit.ctypes.data_as(_u32p), in_woff.ctypes.data_as(u64p),
+        in_hw.ctypes.data_as(_u32p), in_hoff.ctypes.data_as(u64p),
+        inr.ctypes.data_as(_u32p),
+        llc.ctypes.data_as(_u32p), n_coeffs,
+        llx.ctypes.data_as(_u32p), n_doubles,
+        fl_sib.ctypes.data_as(_u32p), fl_self.ctypes.data_as(_u32p),
+        fl_sibc.ctypes.data_as(_u32p), in_sib.ctypes.data_as(_u32p),
+        in_self.ctypes.data_as(_u32p), in_sibc.ctypes.data_as(_u32p),
+    )
+    assert rc == 0, _FRI_ERRORS.get(rc, f"fri hint error {rc}")
+    inner = []
+    pos = 0
+    for i in range(n_inner):
+        d = in_depths[i]
+        sib = in_sib[pos : pos + B * Q * d * 8].reshape(B, Q, d, 8)
+        pos += B * Q * d * 8
+        inner.append((sib, in_self[i], in_sibc[i]))
+    return fl_sib, fl_self, fl_sibc, inner

@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import numpy as np
 
@@ -174,8 +174,16 @@ def absorb_packed(chains: List[object], lanes: int = 0) -> List[object]:
             out_id[t, ln] = oid
 
     # seed the carries from an input tensor so varying-axes metadata
-    # propagates under shard_map check_vma
-    seed = chunked[0][0][None] * xp.uint32(0)  # (1, 8, R, 128)
+    # propagates under shard_map check_vma; a zero-width chain has no
+    # chunks, so fall back to a zero slice of the raw chain tensor
+    first = next((cl[0] for cl in chunked if cl), None)
+    if first is None:
+        first = _to_lm(
+            xp.zeros((B, Q, 8), xp.uint32)
+            + xp.zeros_like(chains[0], shape=(B, Q, 1)),
+            R,
+        )
+    seed = first[None] * xp.uint32(0)  # (1, 8, R, 128)
     carry = xp.zeros((lanes, 8, R, 128), xp.uint32) + seed
     table = xp.zeros((C, 8, R, 128), xp.uint32) + seed
 

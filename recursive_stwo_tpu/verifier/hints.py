@@ -836,6 +836,188 @@ def fold_line_pairs(
 # Full host preparation pipeline
 # ---------------------------------------------------------------------------
 
+def _fri_hints_native(spec: VerifierSpec, proofs, fs, answers):
+    """Fused native FRI hint pipeline (pathexpand.cpp::rstpu_fri_fold_hints):
+    first-layer rebuild + circle folds, inner-layer assembly + line folds,
+    pair-path expansion per layer and the last-layer check, with the
+    position-derived 1/y and 1/x tables precomputed here (vectorized).
+    Bit-identical to the numpy path below."""
+    from ..utils import native
+
+    B = len(proofs)
+    Q = spec.n_queries
+    M = spec.max_first_layer_log
+    n_inner = spec.n_inner_layers
+    group_logs = list(spec.all_log_sizes)
+    raw = (
+        np.asarray(fs.raw_queries, np.uint32) & np.uint32((1 << M) - 1)
+    ).astype(np.int64)
+
+    ans = np.stack([_rows_of_q(a) for a in answers])
+    alph = np.stack([_rows_of_q(a) for a in fs.fri_alphas])
+
+    yinv = np.empty((len(group_logs), B, Q), np.uint32)
+    for g, L in enumerate(group_logs):
+        pos0 = (((raw >> (M - L)) >> 1) << 1).astype(np.uint64)
+        yinv[g] = m31.inv(_circle_domain_y(pos0.ravel(), L)).reshape(B, Q)
+    xinv = np.empty((max(n_inner, 1), B, Q), np.uint32)
+    log_size = M
+    for i in range(n_inner):
+        log_size -= 1
+        left = ((raw >> (i + 2)) << 1).astype(np.uint64)
+        xinv[i] = m31.inv(_line_x(left.ravel(), log_size)).reshape(B, Q)
+
+    final_log = M - n_inner - 1
+    ll_coeffs = np.stack(
+        [
+            np.asarray(p.stark_proof.fri_proof.last_layer_poly, np.uint32)
+            for p in proofs
+        ]
+    )
+    n_doubles = ll_coeffs.shape[1].bit_length() - 1
+    idx = (raw >> (n_inner + 1)).astype(np.uint64)
+    x = _line_x(idx.ravel(), final_log).reshape(B, Q)
+    ll_xs = np.empty((max(n_doubles, 1), B, Q), np.uint32)
+    for d in range(n_doubles):
+        ll_xs[d] = x
+        x = circle.apoint_double_x(x)
+
+    fls = [p.stark_proof.fri_proof.first_layer for p in proofs]
+    for fl in fls:
+        assert len(fl.decommitment.column_witness) == 0
+    in_wit_lists, in_hw_lists = [], []
+    for i in range(n_inner):
+        layers = [p.stark_proof.fri_proof.inner_layers[i] for p in proofs]
+        for layer in layers:
+            assert len(layer.decommitment.column_witness) == 0
+        in_wit_lists.append([la.fri_witness for la in layers])
+        in_hw_lists.append([la.decommitment.hash_witness for la in layers])
+    in_roots = (
+        np.stack(
+            [
+                [
+                    np.asarray(
+                        p.stark_proof.fri_proof.inner_layers[i].commitment,
+                        np.uint32,
+                    )
+                    for p in proofs
+                ]
+                for i in range(n_inner)
+            ]
+        )
+        if n_inner
+        else np.zeros((0, B, 8), np.uint32)
+    )
+
+    fl_sib, fl_self, fl_sibc, inner = native.fri_fold_hints(
+        Q, M, group_logs, n_inner, raw, ans, alph, yinv, xinv,
+        [fl.fri_witness for fl in fls],
+        [fl.decommitment.hash_witness for fl in fls],
+        np.stack([np.asarray(fl.commitment, np.uint32) for fl in fls]),
+        in_wit_lists, in_hw_lists, in_roots, ll_coeffs, ll_xs,
+    )
+    first_layer_paths = PairPaths(
+        sibling_hashes=fl_sib,
+        self_columns={L: fl_self[g] for g, L in enumerate(group_logs)},
+        sibling_columns={L: fl_sibc[g] for g, L in enumerate(group_logs)},
+    )
+    inner_layer_paths = tuple(
+        PairPaths(
+            sibling_hashes=sib,
+            self_columns={M - 1 - i: self_c},
+            sibling_columns={M - 1 - i: sib_c},
+        )
+        for i, (sib, self_c, sib_c) in enumerate(inner)
+    )
+    return first_layer_paths, inner_layer_paths
+
+
+def _expand_single_stacked(
+    depth: int,
+    raw_list: List[List[int]],
+    values_list: List[np.ndarray],
+    n_columns_per_log_size: Dict[int, int],
+    decommitments: List[MerkleDecommitment],
+    roots: List[np.ndarray],
+    batched_flavor,
+    hash_node_fn,
+) -> TreePaths:
+    """Dispatch: C++ (native/pathexpand.cpp) -> level-batched numpy ->
+    scalar fallback, all bit-identical."""
+    from ..utils import native
+
+    if batched_flavor == "p31" and native.available():
+        for d in decommitments:
+            assert len(d.column_witness) == 0
+        sib, cols = native.expand_single_paths_batch(
+            depth,
+            np.asarray(raw_list, np.int64),
+            values_list,
+            n_columns_per_log_size,
+            [np.asarray(d.hash_witness, np.uint32) for d in decommitments],
+            np.stack([np.asarray(r, np.uint32) for r in roots]),
+        )
+        return TreePaths(sibling_hashes=sib, columns=cols)
+    if batched_flavor is not None:
+        per_proof = expand_single_paths_batched(
+            depth, raw_list, values_list, n_columns_per_log_size,
+            decommitments, roots, flavor=batched_flavor,
+        )
+    else:
+        per_proof = [
+            expand_single_paths(
+                depth, raw_list[bi], values_list[bi],
+                n_columns_per_log_size, decommitments[bi], roots[bi],
+                hash_node_fn=hash_node_fn,
+            )
+            for bi in range(len(values_list))
+        ]
+    return _stack_tree_paths(per_proof)
+
+
+def _expand_pairs_stacked(
+    log_sizes_with_data: List[int],
+    roots: List[np.ndarray],
+    leaf_queries_list: List[List[int]],
+    values_list: List[np.ndarray],
+    decommitments: List[MerkleDecommitment],
+    batched_flavor,
+    hash_node_fn,
+) -> PairPaths:
+    from ..utils import native
+
+    if batched_flavor == "p31" and native.available():
+        for d in decommitments:
+            assert len(d.column_witness) == 0
+        sib, self_cols, sib_cols = native.expand_pair_paths_batch(
+            log_sizes_with_data,
+            np.stack([np.asarray(r, np.uint32) for r in roots]),
+            np.asarray(leaf_queries_list, np.int64),
+            values_list,
+            [np.asarray(d.hash_witness, np.uint32) for d in decommitments],
+        )
+        return PairPaths(
+            sibling_hashes=sib,
+            self_columns=self_cols,
+            sibling_columns=sib_cols,
+        )
+    if batched_flavor is not None:
+        per_proof = expand_pair_paths_batched(
+            log_sizes_with_data, roots, leaf_queries_list, values_list,
+            decommitments, flavor=batched_flavor,
+        )
+    else:
+        per_proof = [
+            expand_pair_paths(
+                log_sizes_with_data, roots[bi], leaf_queries_list[bi],
+                values_list[bi], decommitments[bi],
+                hash_node_fn=hash_node_fn,
+            )
+            for bi in range(len(values_list))
+        ]
+    return _stack_pair_paths(per_proof)
+
+
 def _stack_tree_paths(per_proof: List[tuple]) -> TreePaths:
     sib = np.stack([p[0] for p in per_proof])
     keys = per_proof[0][1].keys()
@@ -899,6 +1081,14 @@ def prepare(
         batched_flavor = "p31"
     elif hash_node_fn is sha256_merkle.hash_node:
         batched_flavor = "sha256"
+    # a proof claiming a different PcsConfig than the verifier's is
+    # rejected upfront (the reference supplies the config as a trusted
+    # constant, examples/single-proof/src/main.rs:28-31; the bundled
+    # config bytes must agree or the proof is for another statement)
+    expected_cfg = spec.config
+    for p in proofs:
+        cfg = getattr(p, "config", None)
+        assert cfg is None or cfg == expected_cfg, "PcsConfig mismatch"
     pa = arrays_fn(spec, proofs)
     fs = (transcript_fn or transcript.run_transcript)(spec, pa)
     B = len(proofs)
@@ -915,32 +1105,32 @@ def prepare(
             ]
             for bi in range(B)
         ]
-        if batched_flavor is not None:
-            per_proof = expand_single_paths_batched(
+        tree_paths.append(
+            _expand_single_stacked(
                 depth,
                 raw_list,
                 [p.stark_proof.queried_values[t] for p in proofs],
                 spec.n_columns_per_log_size[t],
                 [p.stark_proof.decommitments[t] for p in proofs],
                 [p.stark_proof.commitments[t] for p in proofs],
-                flavor=batched_flavor,
+                batched_flavor,
+                hash_node_fn,
             )
-        else:
-            per_proof = [
-                expand_single_paths(
-                    depth,
-                    raw_list[bi],
-                    proof.stark_proof.queried_values[t],
-                    spec.n_columns_per_log_size[t],
-                    proof.stark_proof.decommitments[t],
-                    proof.stark_proof.commitments[t],
-                    hash_node_fn=hash_node_fn,
-                )
-                for bi, proof in enumerate(proofs)
-            ]
-        tree_paths.append(_stack_tree_paths(per_proof))
+        )
 
     answers = host_fri_answers(spec, fs, pa, tree_paths)
+
+    from ..utils import native as native_mod
+
+    if batched_flavor == "p31" and native_mod.available():
+        first_layer_paths, inner_layer_paths = _fri_hints_native(
+            spec, proofs, fs, answers
+        )
+        return pa._replace(
+            tree_paths=tuple(tree_paths),
+            first_layer_paths=first_layer_paths,
+            inner_layer_paths=inner_layer_paths,
+        )
 
     # first FRI layer: rebuild full pair evals, fold, expand pair paths.
     # Pair rebuilding stays per-proof python (witness order is sequential
@@ -1018,28 +1208,15 @@ def prepare(
             ] if n else []
         folded_evals_all.append(folded_evals)
 
-    if batched_flavor is not None:
-        fl_per_proof = expand_pair_paths_batched(
-            list(spec.all_log_sizes),
-            [p.stark_proof.fri_proof.first_layer.commitment for p in proofs],
-            raw_lists,
-            fl_values_list,
-            [p.stark_proof.fri_proof.first_layer.decommitment for p in proofs],
-            flavor=batched_flavor,
-        )
-    else:
-        fl_per_proof = [
-            expand_pair_paths(
-                list(spec.all_log_sizes),
-                proof.stark_proof.fri_proof.first_layer.commitment,
-                raw_lists[bi],
-                fl_values_list[bi],
-                proof.stark_proof.fri_proof.first_layer.decommitment,
-                hash_node_fn=hash_node_fn,
-            )
-            for bi, proof in enumerate(proofs)
-        ]
-    first_layer_paths = _stack_pair_paths(fl_per_proof)
+    first_layer_paths = _expand_pairs_stacked(
+        list(spec.all_log_sizes),
+        [p.stark_proof.fri_proof.first_layer.commitment for p in proofs],
+        raw_lists,
+        fl_values_list,
+        [p.stark_proof.fri_proof.first_layer.decommitment for p in proofs],
+        batched_flavor,
+        hash_node_fn,
+    )
 
     # inner layers — layer-major: per-proof python assembles the witness
     # streams (sequential consumption order per proof) while line folds and
@@ -1127,29 +1304,17 @@ def prepare(
         layer_queries = [
             [qq >> (M - log_size) for qq in raw_lists[bi]] for bi in range(B)
         ]
-        if batched_flavor is not None:
-            inner_paths[i] = expand_pair_paths_batched(
-                [log_size],
-                [p.stark_proof.fri_proof.inner_layers[i].commitment
-                 for p in proofs],
-                layer_queries,
-                streams,
-                [p.stark_proof.fri_proof.inner_layers[i].decommitment
-                 for p in proofs],
-                flavor=batched_flavor,
-            )
-        else:
-            inner_paths[i] = [
-                expand_pair_paths(
-                    [log_size],
-                    proof.stark_proof.fri_proof.inner_layers[i].commitment,
-                    layer_queries[bi],
-                    streams[bi],
-                    proof.stark_proof.fri_proof.inner_layers[i].decommitment,
-                    hash_node_fn=hash_node_fn,
-                )
-                for bi, proof in enumerate(proofs)
-            ]
+        inner_paths[i] = _expand_pairs_stacked(
+            [log_size],
+            [p.stark_proof.fri_proof.inner_layers[i].commitment
+             for p in proofs],
+            layer_queries,
+            streams,
+            [p.stark_proof.fri_proof.inner_layers[i].decommitment
+             for p in proofs],
+            batched_flavor,
+            hash_node_fn,
+        )
 
     # last layer consistency (host-side sanity; device re-checks).
     # fold([c0..], [f0, f1, ..]) = fold(first half, rest) + f0 * fold(second
@@ -1184,7 +1349,7 @@ def prepare(
         got = np.array([folded[idx] for idx in idxs], np.uint32)
         assert np.array_equal(got, expected), "last layer mismatch"
 
-    inner_layer_paths = tuple(_stack_pair_paths(pp) for pp in inner_paths)
+    inner_layer_paths = tuple(inner_paths)
 
     return pa._replace(
         tree_paths=tuple(tree_paths),

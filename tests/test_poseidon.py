@@ -2,6 +2,7 @@
 /root/reference/primitives/poseidon31/src/implementation.rs:156-173)."""
 
 import numpy as np
+import pytest
 
 from recursive_stwo_tpu.core import poseidon2
 
@@ -60,3 +61,23 @@ def test_pallas_kernel_body_bit_exact():
     poseidon_pallas._kernel(in_ref, out_ref)
     out = np.stack([np.asarray(a).reshape(-1) for a in out_ref.arrs], axis=1)
     assert np.array_equal(out, poseidon2.permute(xn))
+
+
+@pytest.mark.slow
+def test_pallas_build4_interpret_bit_exact():
+    """The 4-D lane-major Pallas kernel (grid + BlockSpec index_map +
+    _View ref squeeze) is bit-exact vs the scalar permute, via
+    interpret=True on CPU random (L, 16, R, 128) states.  Slow tier:
+    interpret-mode pallas costs ~30 s to trace on CPU."""
+    import jax.numpy as jnp
+
+    from recursive_stwo_tpu.ops import poseidon_pallas
+
+    L, R = 2, 16
+    rng = np.random.default_rng(11)
+    xn = rng.integers(0, 2**31 - 1, size=(L, 16, R, 128)).astype(np.uint32)
+    fn = poseidon_pallas._build4(L, R, 8, interpret=True)
+    out = np.asarray(fn(jnp.asarray(xn)))
+    # lane-major (L, 16, R, 128) -> states (L, R, 128, 16) for the ref
+    ref = poseidon2.permute(np.moveaxis(xn, 1, -1))
+    assert np.array_equal(np.moveaxis(out, 1, -1), ref)
