@@ -95,6 +95,28 @@ def obtain_input_proof(t0):
     return proof, INPUTS3, False
 
 
+def warm_compile():
+    """Compile-warm the last-layer prove programs (tools/warm_chain.py):
+    build the circuit from the committed level-14 artifact and prove it
+    under the chain output config, discarding the proof."""
+    lvl14_path = os.path.join(DATA, "level14-1.pkl")
+    with open(lvl14_path, "rb") as f:
+        proof = pickle.load(f)
+    cs, _ = build_last_circuit(
+        proof,
+        list(INPUTS3),
+        transcript_fn=lambda s, pa: run_transcript_sha256p31(s, proof),
+        hash_node_fn=sha256_merkle.hash_node,
+    )
+    trace = cs.generate_trace()
+    prove_np(
+        trace,
+        PcsConfig(pow_bits=28, fri_config=FriConfig(0, 9, 8)),
+        channel=Sha256ProverChannel(),
+        tree_cls=Sha256CommittedTree,
+    )
+
+
 def main():
     t0 = time.time()
     proof, inner_inputs, from_chain = obtain_input_proof(t0)

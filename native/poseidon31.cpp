@@ -407,9 +407,36 @@ void poseidon2_digest_chain(const uint32_t* ops, uint64_t n, uint32_t* digest) {
 
 // PoW grind: find the smallest nonce >= start whose 22/21/21-limb mix
 // leaves digest limb 0 with `bits` low zero bits.  Returns the nonce.
+// AVX-512 path scans 16 nonces per permutation round (the scalar scan
+// was the dominant cost of high-pow prover levels).
 uint64_t poseidon2_grind(const uint32_t* digest, uint32_t bits,
                          uint64_t start) {
     const uint32_t mask = (bits >= 32) ? 0xffffffffu : ((1u << bits) - 1u);
+#ifdef POS_AVX512
+    {
+        const __m512i maskv = _mm512_set1_epi32((int)mask);
+        alignas(64) uint32_t l0[16], l1[16], l2[16];
+        for (uint64_t base = start;; base += 16) {
+            for (int j = 0; j < 16; ++j) {
+                uint64_t n = base + (uint64_t)j;
+                l0[j] = (uint32_t)(n & ((1u << 22) - 1));
+                l1[j] = (uint32_t)((n >> 22) & ((1u << 21) - 1));
+                l2[j] = (uint32_t)((n >> 43) & ((1u << 21) - 1));
+            }
+            __m512i s[16];
+            s[0] = _mm512_load_si512((const void*)l0);
+            s[1] = _mm512_load_si512((const void*)l1);
+            s[2] = _mm512_load_si512((const void*)l2);
+            for (int j = 3; j < 8; ++j) s[j] = _mm512_setzero_si512();
+            for (int j = 0; j < 8; ++j)
+                s[8 + j] = _mm512_set1_epi32((int)digest[j]);
+            v16::v_permute(s);
+            __mmask16 hit = _mm512_cmpeq_epu32_mask(
+                _mm512_and_si512(s[8], maskv), _mm512_setzero_si512());
+            if (hit) return base + (uint64_t)__builtin_ctz((unsigned)hit);
+        }
+    }
+#else
     uint64_t nonce = start;
     for (;;) {
         uint32_t s[16];
@@ -422,6 +449,7 @@ uint64_t poseidon2_grind(const uint32_t* digest, uint32_t bits,
         if ((s[8] & mask) == 0) return nonce;
         ++nonce;
     }
+#endif
 }
 
 }  // extern "C"
