@@ -15,7 +15,7 @@ VERDICT r1 item 3):
                                   (depth-21/22 trees, 8 inner FRI layers)
   host_prepare_ms_per_proof       per-distinct-proof host hint expansion
                                   (parse -> transcript -> path expansion)
-                                  at prepare batch 32; _b1 is the
+                                  at prepare batch 512; _b1 is the
                                   single-proof latency
   e2e_distinct_proofs_per_sec     1 / (host prepare + device verify) per
                                   proof — the honest end-to-end rate for
@@ -89,8 +89,10 @@ def main():
     ]
     sec["fri_queries_per_sec"] = round(headline * spec.n_queries)
 
-    # ---- deep fixture: recursive_proof_16_15 ----
-    batch_r = int(os.environ.get("BENCH_BATCH_R", "128"))
+    # ---- deep fixture: recursive_proof_16_15 (co-headline: the chain
+    # shape every recursion level actually verifies; depth-21/22 trees,
+    # 8 inner FRI layers; swept B=128..1024 in docs/perf.md) ----
+    batch_r = int(os.environ.get("BENCH_BATCH_R", "1024"))
     spec2, pa2 = prepared_arrays("recursive_proof_16_15")
     paj2 = jax.tree.map(jnp.asarray, tiled_batch(pa2, batch_r))
     fn2 = jax.jit(
@@ -116,7 +118,7 @@ def main():
     sec["host_prepare_ms_per_proof_b1"] = round(prep_b1_s * 1e3, 2)
     # batched throughput (path expansion hashes all proofs per tree level;
     # production streams prepare in batches like the device verify does)
-    b_prep = int(os.environ.get("BENCH_PREP_BATCH", "32"))
+    b_prep = int(os.environ.get("BENCH_PREP_BATCH", "512"))
     prep_batch = [proof] * b_prep
     hints.prepare(spec, prep_batch)
     prep_trials = []
@@ -223,6 +225,31 @@ def main():
             (time.perf_counter() - t0) / 3 * 1e3, 1
         )
 
+        # device-batched verify of the real bitcoin artifact: host SHA
+        # transcript + Merkle expansion (root-asserting), device batch for
+        # pow/total-sum/composition/quotients/FRI folds
+        from recursive_stwo_tpu.verifier.verify_sha256 import (
+            _jit_device_checks,
+            _tile_fs,
+            run_transcript_sha256np,
+        )
+
+        spec_b = NoPoseidonVerifierSpec.for_rows(btc.log_size, btc.config)
+        fs_b = run_transcript_sha256np(spec_b, btc)
+        pa_b = hints.prepare(
+            spec_b, [btc],
+            arrays_fn=from_proofs_np,
+            transcript_fn=lambda s, p: fs_b,
+            hash_node_fn=sha256_merkle.hash_node,
+        )
+        b_btc = int(os.environ.get("BENCH_BATCH_BTC", "128"))
+        paj_b = jax.tree.map(jnp.asarray, tiled_batch(pa_b, b_btc))
+        fsj_b = jax.tree.map(jnp.asarray, _tile_fs(fs_b, b_btc))
+        fn_b = _jit_device_checks(spec_b, btc_inputs, True)
+        assert np.asarray(fn_b(paj_b, fsj_b)).all(), "bitcoin device verify"
+        dt_b = _time(lambda: fn_b(paj_b, fsj_b), max(reps // 2, 1))
+        sec["bitcoin_device_proofs_per_sec"] = round(b_btc / dt_b, 1)
+
     # ---- Sha256Poseidon31 flavor: host verify (chain level-14 output) ----
     if os.path.exists(lvl14_path):
         import pickle
@@ -243,6 +270,20 @@ def main():
         sec["sha256p31_host_verify_ms"] = round(
             (time.perf_counter() - t0) / 3 * 1e3, 1
         )
+
+        # fast path: host SHA transcript + native path expansion, device
+        # composition/quotients/folds (verify_sha256.verify_sha256p31)
+        from recursive_stwo_tpu.verifier.verify_sha256 import (
+            verify_sha256p31,
+        )
+
+        assert np.asarray(verify_sha256p31(lvl14, inner3)["ok"]).all()
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            verify_sha256p31(lvl14, inner3)
+            trials.append((time.perf_counter() - t0) * 1e3)
+        sec["sha256p31_verify_ms"] = round(min(trials), 1)
 
     # ---- kernel: Pallas Poseidon2-16 permutations ----
     from recursive_stwo_tpu.core import poseidon2

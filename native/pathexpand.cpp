@@ -26,7 +26,16 @@ void poseidon2_leaf_level(const uint32_t* cols, uint64_t n_cols, uint64_t N,
                           uint32_t* out);
 void poseidon2_node_level(const uint32_t* children, const uint32_t* cols,
                           uint64_t n_cols, uint64_t N, uint32_t* out);
+// SHA-256 twins (native/sha256.cpp, same shared library)
+void sha256_leaf_level(const uint32_t* cols, uint64_t n_cols, uint64_t N,
+                       uint32_t* out);
+void sha256_node_level(const uint32_t* children, const uint32_t* cols,
+                       uint64_t n_cols, uint64_t N, uint32_t* out);
 }
+
+// Merkle node-hash flavor selector (verifier/hints.py::_level_hashers):
+// 0 = Poseidon31, 1 = SHA-256.
+enum { FLAVOR_P31 = 0, FLAVOR_SHA256 = 1 };
 
 namespace {
 
@@ -66,19 +75,20 @@ struct NodeJobs {
         }
     }
     // run the level hash; out gets N hashes of 8 u32
-    void run(std::vector<uint32_t>& out) {
+    void run(std::vector<uint32_t>& out, uint32_t flavor = FLAVOR_P31) {
         size_t N = size();
         out.resize(N * 8);
         if (!N) return;
+        auto node_fn = flavor == FLAVOR_SHA256 ? sha256_node_level
+                                               : poseidon2_node_level;
         if (ncols) {
             std::vector<uint32_t> cm(ncols * N);
             for (size_t i = 0; i < N; ++i)
                 for (uint32_t c = 0; c < ncols; ++c)
                     cm[(size_t)c * N + i] = cols[i * ncols + c];
-            poseidon2_node_level(children.data(), cm.data(), ncols, N,
-                                 out.data());
+            node_fn(children.data(), cm.data(), ncols, N, out.data());
         } else {
-            poseidon2_node_level(children.data(), nullptr, 0, N, out.data());
+            node_fn(children.data(), nullptr, 0, N, out.data());
         }
     }
 };
@@ -97,7 +107,7 @@ struct LeafJobs {
         rows.resize(base + ncols);
         std::memcpy(rows.data() + base, r, 4ull * ncols);
     }
-    void run(std::vector<uint32_t>& out) {
+    void run(std::vector<uint32_t>& out, uint32_t flavor = FLAVOR_P31) {
         size_t N = size();
         out.resize(N * 8);
         if (!N) return;
@@ -105,7 +115,8 @@ struct LeafJobs {
         for (size_t i = 0; i < N; ++i)
             for (uint32_t c = 0; c < ncols; ++c)
                 cm[(size_t)c * N + i] = rows[i * ncols + c];
-        poseidon2_leaf_level(cm.data(), ncols, N, out.data());
+        (flavor == FLAVOR_SHA256 ? sha256_leaf_level : poseidon2_leaf_level)(
+            cm.data(), ncols, N, out.data());
     }
 };
 
@@ -135,7 +146,8 @@ int rstpu_expand_single_paths(
     uint32_t B, uint32_t max_log, uint32_t Q, const int64_t* raw_queries,
     const uint32_t* values, const uint64_t* val_off, const uint32_t* hashw,
     const uint64_t* hw_off, const uint32_t* ncols_per_log,
-    const uint32_t* roots, uint32_t* out_sib, uint32_t* out_cols) {
+    const uint32_t* roots, uint32_t* out_sib, uint32_t* out_cols,
+    uint32_t flavor) {
     uint32_t n_top = ncols_per_log[max_log];
 
     struct St {
@@ -172,7 +184,7 @@ int rstpu_expand_single_paths(
         s.positions = s.queries;
     }
     std::vector<uint32_t> hashed;
-    leaf.run(hashed);
+    leaf.run(hashed, flavor);
     {
         size_t off = 0;
         for (uint32_t bi = 0; bi < B; ++bi) {
@@ -224,7 +236,7 @@ int rstpu_expand_single_paths(
             std::sort(parents.begin(), parents.end());
             s.positions = std::move(parents);
         }
-        jobs.run(hashed);
+        jobs.run(hashed, flavor);
         for (size_t j = 0; j < owners.size(); ++j) {
             Hash h;
             std::memcpy(h.data(), hashed.data() + j * 8, 32);
@@ -303,7 +315,7 @@ int rstpu_expand_pair_paths(
     uint32_t max_log, uint32_t Q, const int64_t* leaf_queries,
     const uint32_t* values, const uint64_t* val_off, const uint32_t* hashw,
     const uint64_t* hw_off, const uint32_t* roots, uint32_t* out_sib,
-    uint32_t* out_self, uint32_t* out_sibcols) {
+    uint32_t* out_self, uint32_t* out_sibcols, uint32_t flavor) {
     std::vector<bool> is_data(max_log + 1, false);
     std::vector<int> slab_of(max_log + 1, -1);
     for (uint32_t i = 0; i < n_levels; ++i) {
@@ -417,7 +429,7 @@ int rstpu_expand_pair_paths(
             for (auto& qq : s.queries) qq >>= 1;
         }
         if (!leaf_owner.empty()) {
-            leaf.run(hashed);
+            leaf.run(hashed, flavor);
             for (size_t j = 0; j < leaf_owner.size(); ++j) {
                 Hash h;
                 std::memcpy(h.data(), hashed.data() + j * 8, 32);
@@ -426,7 +438,7 @@ int rstpu_expand_pair_paths(
             }
         }
         if (!job_owner.empty()) {
-            jobs.run(hashed);
+            jobs.run(hashed, flavor);
             for (size_t j = 0; j < job_owner.size(); ++j) {
                 Hash h;
                 std::memcpy(h.data(), hashed.data() + j * 8, 32);
@@ -486,7 +498,7 @@ int rstpu_expand_pair_paths(
         }
     }
     if (!rc_dest.empty()) {
-        recompute.run(hashed);
+        recompute.run(hashed, flavor);
         for (size_t j = 0; j < rc_dest.size(); ++j)
             std::memcpy(out_sib + rc_dest[j], hashed.data() + j * 8, 32);
     }
@@ -595,7 +607,8 @@ int rstpu_fri_fold_hints(
     const uint32_t* ll_coeffs, uint32_t n_coeffs,        // (B, n_coeffs, 4)
     const uint32_t* ll_xs, uint32_t n_doubles,           // (n_doubles, B, Q)
     uint32_t* fl_sib, uint32_t* fl_self, uint32_t* fl_sibc,
-    uint32_t* in_sib, uint32_t* in_self, uint32_t* in_sibc) {
+    uint32_t* in_sib, uint32_t* in_self, uint32_t* in_sibc,
+    uint32_t flavor) {
     // ---- phase 1: first-layer rebuild + circle folds, per proof ----
     std::vector<std::vector<uint32_t>> streams(B);
     // folded_evals[bi][g]: folds in sorted pair order
@@ -686,7 +699,7 @@ int rstpu_fri_fold_hints(
         int rc = rstpu_expand_pair_paths(
             B, n_groups, group_logs, M, Q, raw_queries, vals.data(),
             voff.data(), fl_hw, fl_hw_off, fl_roots, fl_sib, fl_self,
-            fl_sibc);
+            fl_sibc, flavor);
         if (rc) return rc;
     }
 
@@ -794,7 +807,7 @@ int rstpu_fri_fold_hints(
             B, 1, dl, log_size, Q, layer_queries.data(), vals.data(),
             voff.data(), in_hw + h0 * 8, hoff.data(),
             in_roots + (size_t)li * B * 8, in_sib + in_sib_pos,
-            in_self + in_cols_pos, in_sibc + in_cols_pos);
+            in_self + in_cols_pos, in_sibc + in_cols_pos, flavor);
         if (rc) return rc;
         in_sib_pos += (size_t)B * Q * depth_out * 8;
         in_cols_pos += (size_t)B * Q * 4;
@@ -827,6 +840,149 @@ int rstpu_fri_fold_hints(
                 v[0].d != got.d)
                 return ERR_LAST_LAYER;
         }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// OODS quotient ("FRI answer") evaluation — C++ twin of
+// verifier/quotients.py::fri_answers_for_group over all groups (reference
+// quotient math: components/recursive/answer/src/data_structures.rs:70-189).
+// The numpy version is fully vectorized but per-op overhead dominated the
+// host hint-preparation budget at small batch; here the whole (B, Q, C)
+// accumulation is flat scalar code.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct C2 {
+    uint32_t re, im;
+};
+
+inline C2 c2_add(C2 x, C2 y) { return {f_add(x.re, y.re), f_add(x.im, y.im)}; }
+inline C2 c2_sub(C2 x, C2 y) { return {f_sub(x.re, y.re), f_sub(x.im, y.im)}; }
+inline C2 c2_mul(C2 x, C2 y) {
+    return {f_sub(f_mul(x.re, y.re), f_mul(x.im, y.im)),
+            f_add(f_mul(x.re, y.im), f_mul(x.im, y.re))};
+}
+
+inline uint32_t f_inv(uint32_t a) {
+    // a^(P-2) via square-and-multiply (P = 2^31 - 1: exponent is 29 ones
+    // then 0 1 — use a simple MSB-first ladder)
+    uint64_t e = 2147483645ull;
+    uint32_t result = 1, base = a;
+    while (e) {
+        if (e & 1) result = f_mul(result, base);
+        base = f_mul(base, base);
+        e >>= 1;
+    }
+    return result;
+}
+
+inline C2 c2_inv(C2 x) {
+    // 1/(a+bi) = (a-bi)/(a^2+b^2)  (core/qm31.py::c_inv)
+    uint32_t norm = f_add(f_mul(x.re, x.re), f_mul(x.im, x.im));
+    uint32_t ninv = f_inv(norm);
+    return {f_mul(x.re, ninv), f_mul(f_sub(0, x.im), ninv)};
+}
+
+// q * cm31 (core/qm31.py::q_mul_cm31)
+inline Q4 q4_mul_c2(Q4 x, C2 s) {
+    C2 first = c2_mul({x.a, x.b}, s);
+    C2 second = c2_mul({x.c, x.d}, s);
+    return {first.re, first.im, second.re, second.im};
+}
+
+}  // namespace
+
+extern "C" {
+
+// answers (n_groups, B, Q, 4) for all quotient groups.
+//
+//   samples_flat (B, S, 4); queried_rows: concat of per-group (B, Q, C_g)
+//   slabs with qr_off (n_groups+1) element offsets; dom_x/dom_y
+//   (n_groups, B, Q); rc (B, 4); per-batch metadata: batch_group,
+//   batch_ncols (nb), col indices (local, sample) flattened with
+//   batch_col_off (nb+1), batch px/py (nb, B, 4) QM31 components.
+int rstpu_fri_answers(
+    uint32_t B, uint32_t Q, uint32_t n_groups, const uint32_t* group_ncols,
+    const uint32_t* samples_flat, uint32_t S, const uint32_t* queried_rows,
+    const uint64_t* qr_off, const uint32_t* dom_x, const uint32_t* dom_y,
+    const uint32_t* rc, uint32_t nb, const uint32_t* batch_group,
+    const uint32_t* batch_ncols, const uint64_t* batch_col_off,
+    const uint32_t* local_idx, const uint32_t* sample_idx,
+    const uint32_t* batch_px, const uint32_t* batch_py, uint32_t* out) {
+    const Q4 NEG2U = {0, 0, P31 - 2, 0};
+    std::vector<Q4> acc((size_t)B * Q);
+    std::vector<Q4> A_row, B_row, C_row;  // per-column line coefficients
+    for (uint32_t g = 0; g < n_groups; ++g) {
+        for (auto& v : acc) v = {0, 0, 0, 0};
+        const uint32_t* qr = queried_rows + qr_off[g];
+        uint32_t Cg = group_ncols[g];
+        const uint32_t* gx = dom_x + ((size_t)g * B) * Q;
+        const uint32_t* gy = dom_y + ((size_t)g * B) * Q;
+        for (uint32_t bi = 0; bi < B; ++bi) {
+            Q4 rck = {1, 0, 0, 0};  // rc^k chain, restarts per group/proof
+            Q4 rcv = q4_load(rc + (size_t)bi * 4);
+            for (uint32_t b = 0; b < nb; ++b) {
+                if (batch_group[b] != g) {
+                    // rc power chain only advances within this group
+                    continue;
+                }
+                uint32_t C = batch_ncols[b];
+                const uint32_t* li = local_idx + batch_col_off[b];
+                const uint32_t* si = sample_idx + batch_col_off[b];
+                Q4 px = q4_load(batch_px + ((size_t)b * B + bi) * 4);
+                Q4 py = q4_load(batch_py + ((size_t)b * B + bi) * 4);
+                C2 y0 = {py.a, py.b}, y1 = {py.c, py.d};
+                A_row.resize(C);
+                B_row.resize(C);
+                C_row.resize(C);
+                for (uint32_t c = 0; c < C; ++c) {
+                    const uint32_t* sv =
+                        samples_flat + ((size_t)bi * S + si[c]) * 4;
+                    C2 v0 = {sv[0], sv[1]}, v1 = {sv[2], sv[3]};
+                    Q4 alpha = q4_mul(rck, NEG2U);
+                    rck = q4_mul(rck, rcv);
+                    C2 b_c = c2_sub(c2_mul(v0, y1), c2_mul(v1, y0));
+                    // per-column line coefficients, hoisted out of the
+                    // query loop: A = alpha*a, B = alpha*b, C = alpha*c
+                    A_row[c] = q4_mul_c2(alpha, v1);
+                    B_row[c] = q4_mul_c2(alpha, b_c);
+                    C_row[c] = q4_mul_c2(alpha, y1);
+                }
+                for (uint32_t qi = 0; qi < Q; ++qi) {
+                    uint32_t dx = gx[(size_t)bi * Q + qi];
+                    uint32_t dy = gy[(size_t)bi * Q + qi];
+                    Q4 numer = {0, 0, 0, 0};
+                    const uint32_t* row =
+                        qr + ((size_t)bi * Q + qi) * Cg;
+                    for (uint32_t c = 0; c < C; ++c) {
+                        uint32_t val = row[li[c]];
+                        Q4 term = q4_sub(
+                            q4_mul_m31(C_row[c], val),
+                            q4_add(q4_mul_m31(A_row[c], dy), B_row[c]));
+                        numer = q4_add(numer, term);
+                    }
+                    // denominator: (px.first - dx) * py.second -
+                    //              (py.first - dy) * px.second
+                    C2 prx = {f_sub(px.a, dx), px.b};
+                    C2 pry = {f_sub(py.a, dy), py.b};
+                    C2 pix = {px.c, px.d}, piy = {py.c, py.d};
+                    C2 den = c2_sub(c2_mul(prx, piy), c2_mul(pry, pix));
+                    C2 dinv = c2_inv(den);
+                    acc[(size_t)bi * Q + qi] = q4_add(
+                        acc[(size_t)bi * Q + qi],
+                        q4_mul_c2(numer, dinv));
+                }
+            }
+        }
+        for (uint32_t bi = 0; bi < B; ++bi)
+            for (uint32_t qi = 0; qi < Q; ++qi)
+                q4_store(out + (((size_t)g * B + bi) * Q + qi) * 4,
+                         acc[(size_t)bi * Q + qi]);
     }
     return 0;
 }

@@ -203,7 +203,7 @@ def apoints_at_indices(indices):
     import numpy as np
 
     idx = np.asarray(indices, dtype=np.uint64)
-    if idx.size >= 1 << 16:
+    if idx.size:
         from ..utils import native
 
         if native.fft_available():

@@ -18,6 +18,7 @@ _SRC = os.path.join(
     os.path.dirname(__file__), "..", "..", "native", "poseidon31.cpp"
 )
 _PATH_SRC = os.path.join(os.path.dirname(_SRC), "pathexpand.cpp")
+_SHA_SRC_ = os.path.join(os.path.dirname(_SRC), "sha256.cpp")
 _LIB = os.path.join(os.path.dirname(_SRC), "libposeidon31.so")
 
 _lock = threading.Lock()
@@ -49,12 +50,14 @@ def _load():
         try:
             _set_omp_threads()
             if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
-                os.path.getmtime(_SRC), os.path.getmtime(_PATH_SRC)
+                os.path.getmtime(_SRC), os.path.getmtime(_PATH_SRC),
+                os.path.getmtime(_SHA_SRC_),
             ):
                 subprocess.run(
                     [
                         "g++", "-O3", "-march=native", "-mno-sha", "-fopenmp",
                         "-shared", "-fPIC", "-o", _LIB, _SRC, _PATH_SRC,
+                        _SHA_SRC_,
                     ],
                     check=True,
                     capture_output=True,
@@ -90,13 +93,13 @@ def _load():
             lib.rstpu_expand_single_paths.argtypes = [
                 ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, _i64p_,
                 _u32p_, _u64p_, _u32p_, _u64p_, _u32p_, _u32p_, _u32p_,
-                _u32p_,
+                _u32p_, ctypes.c_uint32,
             ]
             lib.rstpu_expand_single_paths.restype = ctypes.c_int
             lib.rstpu_expand_pair_paths.argtypes = [
                 ctypes.c_uint32, ctypes.c_uint32, _u32p_, ctypes.c_uint32,
                 ctypes.c_uint32, _i64p_, _u32p_, _u64p_, _u32p_, _u64p_,
-                _u32p_, _u32p_, _u32p_, _u32p_,
+                _u32p_, _u32p_, _u32p_, _u32p_, ctypes.c_uint32,
             ]
             lib.rstpu_expand_pair_paths.restype = ctypes.c_int
             _lib = lib
@@ -469,6 +472,7 @@ def expand_single_paths_batch(
     n_columns_per_log_size: dict,
     hash_witness_list,
     roots: np.ndarray,
+    flavor: str = "p31",
 ):
     """(sib (B, Q, max_log, 8), {log: (B, Q, ncols)}) via C++."""
     lib = _load()
@@ -497,17 +501,25 @@ def expand_single_paths_batch(
         hoff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         ncl.ctypes.data_as(_u32p), roots_c.ctypes.data_as(_u32p),
         sib.ctypes.data_as(_u32p), cols_buf.ctypes.data_as(_u32p),
+        1 if flavor == "sha256" else 0,
     )
     assert rc == 0, _EXPAND_ERRORS.get(rc, f"path expansion error {rc}")
-    columns = {}
+    # slabs are laid out in descending log order by the kernel
+    slab = {}
     pos = 0
     for lvl in range(max_log, -1, -1):
         if ncl[lvl]:
             n = int(ncl[lvl])
-            columns[lvl] = cols_buf[pos : pos + B * Q * n].reshape(B, Q, n)
+            slab[lvl] = cols_buf[pos : pos + B * Q * n].reshape(B, Q, n)
             pos += B * Q * n
-        elif lvl in n_columns_per_log_size:
-            columns[lvl] = np.zeros((B, Q, 0), np.uint32)
+    # dict INSERTION ORDER must replicate the numpy twin exactly (the
+    # circuit layer allocates witness wires by iterating .items(); a
+    # different order changes the trace): max_log first, then the
+    # caller's n_columns_per_log_size order
+    columns = {max_log: slab[max_log]}
+    for lvl in n_columns_per_log_size:
+        if lvl != max_log:
+            columns[lvl] = slab.get(lvl, np.zeros((B, Q, 0), np.uint32))
     return sib, columns
 
 
@@ -517,6 +529,7 @@ def expand_pair_paths_batch(
     leaf_queries: np.ndarray,
     values_list,
     hash_witness_list,
+    flavor: str = "p31",
 ):
     """(sib (B, Q, depth-1, 8), self {log: (B, Q, 4)}, sibling {log: ...})
     via C++."""
@@ -546,14 +559,15 @@ def expand_pair_paths_batch(
         hoff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         roots_c.ctypes.data_as(_u32p), sib.ctypes.data_as(_u32p),
         self_buf.ctypes.data_as(_u32p), sibc_buf.ctypes.data_as(_u32p),
+        1 if flavor == "sha256" else 0,
     )
     assert rc == 0, _EXPAND_ERRORS.get(rc, f"path expansion error {rc}")
-    self_cols = {
-        int(lvl): self_buf[i] for i, lvl in enumerate(data_logs)
-    }
-    sib_cols = {
-        int(lvl): sibc_buf[i] for i, lvl in enumerate(data_logs)
-    }
+    # replicate the numpy twin's dict insertion order (set iteration —
+    # the circuit layer's wire allocation order depends on it)
+    slab_of = {int(lvl): i for i, lvl in enumerate(data_logs)}
+    data_set = set(int(lvl) for lvl in log_sizes_with_data)
+    self_cols = {lvl: self_buf[slab_of[lvl]] for lvl in data_set}
+    sib_cols = {lvl: sibc_buf[slab_of[lvl]] for lvl in data_set}
     return sib, self_cols, sib_cols
 
 
@@ -596,6 +610,7 @@ def fri_fold_hints(
     in_wit_lists, in_hw_lists, in_roots: np.ndarray,
     ll_coeffs: np.ndarray,             # (B, n_coeffs, 4)
     ll_xs: np.ndarray,                 # (n_doubles, B, Q)
+    flavor: str = "p31",
 ):
     """Fused first-layer rebuild + folds + inner layers + pair expansion +
     last-layer check (native/pathexpand.cpp::rstpu_fri_fold_hints).
@@ -665,6 +680,7 @@ def fri_fold_hints(
         fl_sib.ctypes.data_as(_u32p), fl_self.ctypes.data_as(_u32p),
         fl_sibc.ctypes.data_as(_u32p), in_sib.ctypes.data_as(_u32p),
         in_self.ctypes.data_as(_u32p), in_sibc.ctypes.data_as(_u32p),
+        1 if flavor == "sha256" else 0,
     )
     assert rc == 0, _FRI_ERRORS.get(rc, f"fri hint error {rc}")
     inner = []
@@ -675,3 +691,80 @@ def fri_fold_hints(
         pos += B * Q * d * 8
         inner.append((sib, in_self[i], in_sibc[i]))
     return fl_sib, fl_self, fl_sibc, inner
+
+
+def _fri_answers_argtypes(lib):
+    if getattr(lib, "_answers_sig", False):
+        return
+    u32 = ctypes.c_uint32
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.rstpu_fri_answers.argtypes = [
+        u32, u32, u32, _u32p,            # B, Q, n_groups, group_ncols
+        _u32p, u32,                      # samples_flat, S
+        _u32p, u64p,                     # queried_rows, qr_off
+        _u32p, _u32p,                    # dom_x, dom_y
+        _u32p, u32,                      # rc, nb
+        _u32p, _u32p, u64p,              # batch_group, batch_ncols, col_off
+        _u32p, _u32p,                    # local_idx, sample_idx
+        _u32p, _u32p, _u32p,             # batch_px, batch_py, out
+    ]
+    lib.rstpu_fri_answers.restype = ctypes.c_int
+    lib._answers_sig = True
+
+
+def fri_answers(
+    Q: int,
+    group_ncols,
+    samples_flat: np.ndarray,      # (B, S, 4)
+    queried_rows_slabs,            # per group (B, Q, C_g)
+    dom_x: np.ndarray,             # (n_groups, B, Q)
+    dom_y: np.ndarray,
+    rc: np.ndarray,                # (B, 4)
+    batch_group, batch_ncols, col_off, local_idx, sample_idx,
+    batch_px: np.ndarray,          # (nb, B, 4)
+    batch_py: np.ndarray,
+) -> np.ndarray:
+    """(n_groups, B, Q, 4) OODS quotients via C++
+    (pathexpand.cpp::rstpu_fri_answers)."""
+    lib = _load()
+    assert lib is not None
+    _fri_answers_argtypes(lib)
+    B, S = samples_flat.shape[:2]
+    n_groups = len(group_ncols)
+    sf = np.ascontiguousarray(samples_flat, np.uint32)
+    qr_off = np.zeros(n_groups + 1, np.uint64)
+    pos = 0
+    for g, slab in enumerate(queried_rows_slabs):
+        qr_off[g] = pos
+        pos += slab.size
+    qr_off[-1] = pos
+    qr = np.concatenate(
+        [np.ascontiguousarray(s, np.uint32).ravel()
+         for s in queried_rows_slabs]
+    ) if pos else np.zeros(1, np.uint32)
+    gx = np.ascontiguousarray(dom_x, np.uint32)
+    gy = np.ascontiguousarray(dom_y, np.uint32)
+    rcc = np.ascontiguousarray(rc, np.uint32)
+    bg = np.asarray(batch_group, np.uint32)
+    bn = np.asarray(batch_ncols, np.uint32)
+    co = np.asarray(col_off, np.uint64)
+    li = np.asarray(local_idx, np.uint32)
+    si = np.asarray(sample_idx, np.uint32)
+    px = np.ascontiguousarray(batch_px, np.uint32)
+    py = np.ascontiguousarray(batch_py, np.uint32)
+    out = np.empty((n_groups, B, Q, 4), np.uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    gnc = np.asarray(group_ncols, np.uint32)
+    rcv = lib.rstpu_fri_answers(
+        B, Q, n_groups, gnc.ctypes.data_as(_u32p),
+        sf.ctypes.data_as(_u32p), S,
+        qr.ctypes.data_as(_u32p), qr_off.ctypes.data_as(u64p),
+        gx.ctypes.data_as(_u32p), gy.ctypes.data_as(_u32p),
+        rcc.ctypes.data_as(_u32p), len(bg),
+        bg.ctypes.data_as(_u32p), bn.ctypes.data_as(_u32p),
+        co.ctypes.data_as(u64p), li.ctypes.data_as(_u32p),
+        si.ctypes.data_as(_u32p), px.ctypes.data_as(_u32p),
+        py.ctypes.data_as(_u32p), out.ctypes.data_as(_u32p),
+    )
+    assert rcv == 0
+    return out

@@ -778,14 +778,21 @@ def _coset_points(i_arr: np.ndarray, init_index: int, step_log: int,
     return x, y
 
 
+_ORDER_MASK = np.uint64((1 << 31) - 1)
+
+
 def _circle_domain_y(pos: np.ndarray, log_size: int) -> np.ndarray:
-    """y of CircleDomain(half_odds(log_size-1)) at bit-reversed positions."""
+    """y of CircleDomain(half_odds(log_size-1)) at bit-reversed positions.
+
+    Coset index init + i*2^step collapses to one point_at_index lookup
+    (index arithmetic mod 2^31), riding the native points kernel."""
     br = _bitrev_arr(pos, log_size)
     init = circle.subgroup_gen_index(log_size + 1)
     half = np.uint64(1 << (log_size - 1))
     i2 = np.where(br < half, br, br - half)
     # conjugate half: index -i has the same x and negated y
-    _, y = _coset_points(i2, init, 31 - (log_size - 1), log_size - 1)
+    full = (np.uint64(init) + (i2 << np.uint64(31 - (log_size - 1))))
+    _, y = circle.apoints_at_indices(full & _ORDER_MASK)
     return np.where(br < half, y, m31.neg(y))
 
 
@@ -793,7 +800,8 @@ def _line_x(idx: np.ndarray, log_size: int) -> np.ndarray:
     """x of Coset.half_odds(log_size) at bit-reversed indices."""
     br = _bitrev_arr(idx, log_size)
     init = circle.subgroup_gen_index(log_size + 2)
-    x, _ = _coset_points(br, init, 31 - log_size, log_size)
+    full = (np.uint64(init) + (br << np.uint64(31 - log_size)))
+    x, _ = circle.apoints_at_indices(full & _ORDER_MASK)
     return x
 
 
@@ -836,7 +844,8 @@ def fold_line_pairs(
 # Full host preparation pipeline
 # ---------------------------------------------------------------------------
 
-def _fri_hints_native(spec: VerifierSpec, proofs, fs, answers):
+def _fri_hints_native(spec: VerifierSpec, proofs, fs, answers,
+                      flavor: str = "p31"):
     """Fused native FRI hint pipeline (pathexpand.cpp::rstpu_fri_fold_hints):
     first-layer rebuild + circle folds, inner-layer assembly + line folds,
     pair-path expansion per layer and the last-layer check, with the
@@ -915,11 +924,16 @@ def _fri_hints_native(spec: VerifierSpec, proofs, fs, answers):
         [fl.decommitment.hash_witness for fl in fls],
         np.stack([np.asarray(fl.commitment, np.uint32) for fl in fls]),
         in_wit_lists, in_hw_lists, in_roots, ll_coeffs, ll_xs,
+        flavor=flavor,
     )
+    # dict insertion order replicates the numpy twin (set iteration
+    # order): the circuit layer's witness allocation iterates .items()
+    slab_of = {L: g for g, L in enumerate(group_logs)}
+    data_set = set(group_logs)
     first_layer_paths = PairPaths(
         sibling_hashes=fl_sib,
-        self_columns={L: fl_self[g] for g, L in enumerate(group_logs)},
-        sibling_columns={L: fl_sibc[g] for g, L in enumerate(group_logs)},
+        self_columns={L: fl_self[slab_of[L]] for L in data_set},
+        sibling_columns={L: fl_sibc[slab_of[L]] for L in data_set},
     )
     inner_layer_paths = tuple(
         PairPaths(
@@ -946,7 +960,7 @@ def _expand_single_stacked(
     scalar fallback, all bit-identical."""
     from ..utils import native
 
-    if batched_flavor == "p31" and native.available():
+    if batched_flavor in ("p31", "sha256") and native.available():
         for d in decommitments:
             assert len(d.column_witness) == 0
         sib, cols = native.expand_single_paths_batch(
@@ -956,6 +970,7 @@ def _expand_single_stacked(
             n_columns_per_log_size,
             [np.asarray(d.hash_witness, np.uint32) for d in decommitments],
             np.stack([np.asarray(r, np.uint32) for r in roots]),
+            flavor=batched_flavor,
         )
         return TreePaths(sibling_hashes=sib, columns=cols)
     if batched_flavor is not None:
@@ -986,7 +1001,7 @@ def _expand_pairs_stacked(
 ) -> PairPaths:
     from ..utils import native
 
-    if batched_flavor == "p31" and native.available():
+    if batched_flavor in ("p31", "sha256") and native.available():
         for d in decommitments:
             assert len(d.column_witness) == 0
         sib, self_cols, sib_cols = native.expand_pair_paths_batch(
@@ -995,6 +1010,7 @@ def _expand_pairs_stacked(
             np.asarray(leaf_queries_list, np.int64),
             values_list,
             [np.asarray(d.hash_witness, np.uint32) for d in decommitments],
+            flavor=batched_flavor,
         )
         return PairPaths(
             sibling_hashes=sib,
@@ -1035,10 +1051,15 @@ def _stack_pair_paths(per_proof: List[tuple]) -> PairPaths:
 
 def host_fri_answers(spec: VerifierSpec, fs, pa: ProofArrays, tree_paths):
     """Quotients per group in raw-query order (numpy), (B, Q) QM31 per group."""
+    from ..utils import native
+
     oods = points_mod.oods_point_from_t(fs.oods_t)
     half_pts = points_mod.half_index_points(
         spec, fs.raw_queries, spec.final_fold_log
     )
+    if native.available() and isinstance(pa.samples_flat, np.ndarray):
+        return _host_fri_answers_native(spec, fs, pa, tree_paths, oods,
+                                        half_pts)
     answers = []
     for g, L in enumerate(spec.all_log_sizes):
         qL = transcript.queries_at_log_size(spec, fs.raw_queries, L)
@@ -1057,6 +1078,75 @@ def host_fri_answers(spec: VerifierSpec, fs, pa: ProofArrays, tree_paths):
             )
         )
     return answers
+
+
+def _host_fri_answers_native(spec, fs, pa, tree_paths, oods, half_pts):
+    """C++ twin of the loop below (pathexpand.cpp::rstpu_fri_answers):
+    identical quotient values, flat scalar accumulation instead of many
+    small numpy ops (the dominant host-prep cost at small batch)."""
+    from ..utils import native
+
+    B, Q = np.asarray(fs.raw_queries).shape
+    n_groups = len(spec.all_log_sizes)
+    group_ncols = [len(spec.group_columns[g]) for g in range(n_groups)]
+    qr_slabs = []
+    dom_x = np.empty((n_groups, B, Q), np.uint32)
+    dom_y = np.empty((n_groups, B, Q), np.uint32)
+    for g, L in enumerate(spec.all_log_sizes):
+        qL = transcript.queries_at_log_size(spec, fs.raw_queries, L)
+        dx, dyq, _ = points_mod.domain_point(half_pts[L], qL)
+        dom_x[g] = dx
+        dom_y[g] = dyq
+        rows = np.concatenate(
+            [
+                tree_paths[t].columns[L]
+                for t in range(4)
+                if L in tree_paths[t].columns
+            ],
+            axis=-1,
+        )
+        assert rows.shape[-1] == group_ncols[g]
+        qr_slabs.append(rows)
+
+    bg, bnc, li, six = [], [], [], []
+    col_off = [0]
+    px_rows, py_rows = [], []
+    for g in range(n_groups):
+        for (shift, tlog), cols in quotients.group_batches(spec, g):
+            point = (
+                oods
+                if shift == 0
+                else points_mod.shifted_oods_point(oods, shift, tlog)
+            )
+            px, py = point
+            bg.append(g)
+            bnc.append(len(cols))
+            li.extend(c for c, _ in cols)
+            six.extend(s for _, s in cols)
+            col_off.append(len(li))
+            px_rows.append(
+                np.stack([np.asarray(c, np.uint32) for c in px], axis=-1)
+            )
+            py_rows.append(
+                np.stack([np.asarray(c, np.uint32) for c in py], axis=-1)
+            )
+
+    rc = np.stack(
+        [
+            np.asarray(c, np.uint32)
+            for c in fs.after_sampled_values_random_coeff
+        ],
+        axis=-1,
+    )
+    out = native.fri_answers(
+        Q, group_ncols, np.asarray(pa.samples_flat, np.uint32), qr_slabs,
+        dom_x, dom_y, rc, bg, bnc, col_off, li, six,
+        np.stack(px_rows), np.stack(py_rows),
+    )
+    return [
+        QM31(out[g, ..., 0], out[g, ..., 1], out[g, ..., 2], out[g, ..., 3])
+        for g in range(n_groups)
+    ]
 
 
 def prepare(
@@ -1122,9 +1212,9 @@ def prepare(
 
     from ..utils import native as native_mod
 
-    if batched_flavor == "p31" and native_mod.available():
+    if batched_flavor in ("p31", "sha256") and native_mod.available():
         first_layer_paths, inner_layer_paths = _fri_hints_native(
-            spec, proofs, fs, answers
+            spec, proofs, fs, answers, batched_flavor
         )
         return pa._replace(
             tree_paths=tuple(tree_paths),

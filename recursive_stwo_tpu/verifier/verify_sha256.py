@@ -21,6 +21,7 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
+from ..core import m31
 from ..core import qm31 as q
 from ..core.qm31 import QM31
 from . import composition as composition_mod
@@ -309,6 +310,266 @@ def verify_sha256np_host(
 
     checks["merkle_fri"] = np.array([structural_ok])
 
+    ok = None
+    for v in checks.values():
+        v = np.asarray(v).reshape(1)
+        ok = v if ok is None else (ok & v)
+    checks["ok"] = ok
+    return checks
+
+
+# ---------------------------------------------------------------------------
+# Device (jit) checks for the SHA-256 flavors: everything except the
+# SHA-256 hashing itself.  The SHA transcript replay and Merkle root
+# recomputation stay on the host (AVX-512 kernels inside hints.prepare,
+# whose path expansion asserts root equality down to the last layer);
+# the device program batches pow, total-sum, the composition AIR at the
+# OODS point, the quotient ("FRI answer") evaluation and the full FRI
+# fold-consistency chain — the same fold_phase the Poseidon31 device
+# verifier runs (mirror of verify_plonk_without_poseidon /
+# ::<Sha256Poseidon31MerkleChannel>, examples/last-layer/src/main.rs:188-202).
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+def _input_sum(fs, inputs):
+    """sum_i 1/((val_i + alpha*idx_i) - z), batched: one q_inv over the
+    stacked (n_inputs, B) terms instead of one per input (the bitcoin
+    proof has 264 public inputs)."""
+    like = fs.z.a
+    if not inputs:
+        return q.q_zero(like)
+    xp = np if isinstance(like, np.ndarray) else None
+    if xp is None:
+        import jax.numpy as xp  # noqa: F811
+    idxs = np.array([i for i, _ in inputs], np.uint32)[:, None]
+    vals = np.array([v for _, v in inputs], np.uint32)
+    term = QM31(
+        *(
+            m31.sub(
+                m31.add(
+                    vals[:, k : k + 1],
+                    m31.mul(fs.alpha[k][None, :], idxs),
+                ),
+                fs.z[k][None, :],
+            )
+            for k in range(4)
+        )
+    )
+    inv = q.q_inv(term)  # (n, B)
+    comps = []
+    for c in inv:
+        acc = c
+        while acc.shape[0] > 1:
+            half = acc.shape[0] // 2
+            lo = m31.add(acc[:half], acc[half : 2 * half])
+            if acc.shape[0] % 2:
+                lo = xp.concatenate([lo, acc[-1:]], axis=0)
+            acc = lo
+        comps.append(acc[0])
+    return QM31(*comps)
+
+
+def device_checks_p31(spec, pa, fs, inputs):
+    """Jittable batch checks for Sha256Poseidon31 PlonkWithPoseidon proofs
+    (no Merkle hashing: roots were enforced during host preparation)."""
+    import jax.numpy as xp
+
+    from .verify import fold_phase
+
+    checks = {}
+    checks["pow"] = (
+        fs.pow_digest0 & np.uint32((1 << spec.pow_bits) - 1)
+    ) == 0
+    plonk_sum = QM31(*(pa.plonk_total_sum[:, i] for i in range(4)))
+    poseidon_sum = QM31(*(pa.poseidon_total_sum[:, i] for i in range(4)))
+    total = q.q_add(q.q_add(_input_sum(fs, inputs), plonk_sum), poseidon_sum)
+    checks["total_sum"] = (
+        (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
+    )
+    oods = points.oods_point_from_t(fs.oods_t)
+    checks["composition"] = composition_mod.composition_check(
+        spec, pa.samples_flat, plonk_sum, poseidon_sum,
+        (fs.z, fs.alpha), fs.random_coeff, oods,
+    )
+    fold_checks, _ = fold_phase(spec, pa, fs, oods, xp)
+    checks.update(fold_checks)
+    ok = None
+    for v in checks.values():
+        ok = v if ok is None else (ok & v)
+    checks["ok"] = ok
+    return checks
+
+
+def device_checks_np(spec, pa, fs, inputs):
+    """Jittable batch checks for Sha256MerkleChannel PlonkWithoutPoseidon
+    proofs — the bitcoin_proof shape (FRI(0,9,8), 264 public inputs)."""
+    import jax.numpy as xp
+
+    from .verify import fold_phase
+
+    checks = {}
+    checks["pow"] = (
+        fs.pow_digest0 & np.uint32((1 << spec.pow_bits) - 1)
+    ) == 0
+    total_sum = QM31(*(pa.plonk_total_sum[:, i] for i in range(4)))
+    total = q.q_add(_input_sum(fs, inputs), total_sum)
+    checks["total_sum"] = (
+        (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
+    )
+    oods = points.oods_point_from_t(fs.oods_t)
+    checks["composition"] = composition_mod.composition_check_np(
+        spec, pa.samples_flat, total_sum,
+        (fs.z, fs.alpha), fs.random_coeff, oods,
+    )
+    fold_checks, _ = fold_phase(spec, pa, fs, oods, xp)
+    checks.update(fold_checks)
+    ok = None
+    for v in checks.values():
+        ok = v if ok is None else (ok & v)
+    checks["ok"] = ok
+    return checks
+
+
+@lru_cache(maxsize=None)
+def _jit_device_checks(spec, inputs, np_flavor: bool):
+    import jax
+
+    fn = device_checks_np if np_flavor else device_checks_p31
+    return jax.jit(lambda pa, fs: fn(spec, pa, fs, inputs)["ok"])
+
+
+def _tile_fs(fs: FSOutput, batch: int):
+    import jax.tree as jt
+
+    return jt.map(
+        lambda x: np.ascontiguousarray(
+            np.broadcast_to(np.asarray(x), (batch,) + np.asarray(x).shape[1:])
+        ),
+        fs,
+    )
+
+
+@lru_cache(maxsize=None)
+def _jit_composition(spec, np_flavor: bool):
+    """Composition-only jit, pinned to the CPU backend: the check is a
+    fixed ~2000-op scalar formula; a CPU executable runs it in ~1 ms
+    where batch-1 numpy paid per-op overhead (50-65 ms) and a batch-1
+    TPU dispatch paid the tunnel round trip (~100 ms).  Batched device
+    verification of this flavor uses device_checks_* instead."""
+    import jax
+
+    if np_flavor:
+        def run(samples_flat, total, z, alpha, rcoeff, oods_t):
+            oods = points.oods_point_from_t(oods_t)
+            return composition_mod.composition_check_np(
+                spec, samples_flat, total, (z, alpha), rcoeff, oods
+            )
+    else:
+        def run(samples_flat, psum, qsum, z, alpha, rcoeff, oods_t):
+            oods = points.oods_point_from_t(oods_t)
+            return composition_mod.composition_check(
+                spec, samples_flat, psum, qsum, (z, alpha), rcoeff, oods
+            )
+
+    cpu = jax.devices("cpu")[0]
+    jfn = jax.jit(run)
+
+    def call(*args):
+        # pin inputs AND execution to the host CPU backend (numpy in)
+        args = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), cpu), args
+        )
+        with jax.default_device(cpu):
+            return jfn(*args)
+
+    return call
+
+
+def verify_sha256p31(proof, inputs=()):
+    """Fast-path verification of one Sha256Poseidon31 proof: host SHA
+    transcript + native path expansion (which asserts every Merkle root
+    and the full FRI fold chain down to the last-layer polynomial), host
+    pow + total-sum, and a composition-only device program."""
+    import jax
+    import jax.numpy as jnp
+
+    spec = VerifierSpec.from_proof(proof)
+    fs = run_transcript_sha256p31(spec, proof)
+    checks = {}
+    try:
+        pa = hints_mod.prepare(
+            spec, [proof],
+            transcript_fn=lambda s, p: fs,
+            hash_node_fn=sha256_merkle.hash_node,
+        )
+        checks["merkle_fri"] = np.array([True])
+    except AssertionError:
+        return {"ok": np.array([False]), "merkle_fri": np.array([False])}
+
+    checks["pow"] = (
+        fs.pow_digest0 & np.uint32((1 << spec.pow_bits) - 1)
+    ) == 0
+    plonk_sum = QM31(*(pa.plonk_total_sum[:, i] for i in range(4)))
+    poseidon_sum = QM31(*(pa.poseidon_total_sum[:, i] for i in range(4)))
+    total = q.q_add(
+        q.q_add(_input_sum(fs, inputs), plonk_sum), poseidon_sum
+    )
+    checks["total_sum"] = (
+        (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
+    )
+    fn = _jit_composition(spec, False)
+    checks["composition"] = np.asarray(
+        fn(pa.samples_flat, plonk_sum, poseidon_sum, fs.z, fs.alpha,
+           fs.random_coeff, fs.oods_t)
+    )
+    ok = None
+    for v in checks.values():
+        v = np.asarray(v).reshape(1)
+        ok = v if ok is None else (ok & v)
+    checks["ok"] = ok
+    return checks
+
+
+def verify_sha256np(proof, inputs=()):
+    """Fast-path verification of one Sha256MerkleChannel
+    PlonkWithoutPoseidon proof (bitcoin_proof): same split as
+    verify_sha256p31."""
+    import jax
+    import jax.numpy as jnp
+
+    from .arrays import from_proofs_np
+    from .spec import NoPoseidonVerifierSpec
+
+    spec = NoPoseidonVerifierSpec.for_rows(proof.log_size, proof.config)
+    spec.validate(proof)
+    fs = run_transcript_sha256np(spec, proof)
+    checks = {}
+    try:
+        pa = hints_mod.prepare(
+            spec, [proof],
+            arrays_fn=from_proofs_np,
+            transcript_fn=lambda s, p: fs,
+            hash_node_fn=sha256_merkle.hash_node,
+        )
+        checks["merkle_fri"] = np.array([True])
+    except AssertionError:
+        return {"ok": np.array([False]), "merkle_fri": np.array([False])}
+
+    checks["pow"] = (
+        fs.pow_digest0 & np.uint32((1 << spec.pow_bits) - 1)
+    ) == 0
+    total_sum = QM31(*(pa.plonk_total_sum[:, i] for i in range(4)))
+    total = q.q_add(_input_sum(fs, inputs), total_sum)
+    checks["total_sum"] = (
+        (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
+    )
+    fn = _jit_composition(spec, True)
+    checks["composition"] = np.asarray(
+        fn(pa.samples_flat, total_sum, fs.z, fs.alpha, fs.random_coeff,
+           fs.oods_t)
+    )
     ok = None
     for v in checks.values():
         v = np.asarray(v).reshape(1)

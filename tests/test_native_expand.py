@@ -77,3 +77,24 @@ def test_native_rejects_truncated_hash_witness():
     bad.stark_proof.decommitments[0].hash_witness = hw[:-1]
     with pytest.raises(AssertionError):
         hints.prepare(spec, [bad])
+
+
+@pytest.mark.parametrize("name", ["small_proof", "recursive_proof_16_15"])
+def test_native_prepare_dict_order_identical(name):
+    """Dict INSERTION ORDER must match the numpy twin, not just sorted
+    values: the circuit layer allocates witness wires by iterating
+    .items(), so a different order silently changes every proof the
+    recursion chain emits (caught as a level-10/13 artifact mismatch)."""
+    pa_native, pa_numpy = _prepare_both(name, batch=1)
+    for t in range(4):
+        assert list(pa_native.tree_paths[t].columns) == list(
+            pa_numpy.tree_paths[t].columns
+        )
+    assert list(pa_native.first_layer_paths.self_columns) == list(
+        pa_numpy.first_layer_paths.self_columns
+    )
+    assert list(pa_native.first_layer_paths.sibling_columns) == list(
+        pa_numpy.first_layer_paths.sibling_columns
+    )
+    for a, b in zip(pa_native.inner_layer_paths, pa_numpy.inner_layer_paths):
+        assert list(a.self_columns) == list(b.self_columns)
