@@ -43,6 +43,9 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
 )
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs", 0.0
+)
 
 import jax.numpy as jnp
 import numpy as np

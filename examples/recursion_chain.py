@@ -187,10 +187,41 @@ def _routing_info():
 
 def main():
     max_levels = int(sys.argv[1]) if len(sys.argv) > 1 else len(LEVELS)
+    # RSTPU_CHAIN_FORCE=1: re-prove levels whose artifacts exist and
+    # bincode-compare against them instead of skipping (fresh-cache /
+    # regression runs; artifacts are never overwritten when they match)
+    force = bool(int(os.environ.get("RSTPU_CHAIN_FORCE", "0")))
     os.makedirs(DATA, exist_ok=True)
     for i, (inp, mult, outp, preset) in enumerate(LEVELS[:max_levels]):
         level = i + 1
         out_path = os.path.join(DATA, f"{outp}.pkl")
+        if os.path.exists(out_path) and force:
+            proof = load_input(inp)
+            aggregate = demo_recurse(
+                level, proof, mult, PRESETS[preset], sha256=(level == 14)
+            )
+            from recursive_stwo_tpu.proof.serialize import (
+                serialize_plonk_with_poseidon_proof,
+            )
+
+            with open(out_path, "rb") as f:
+                ref = pickle.load(f)
+            roots = np.asarray(ref.stark_proof.commitments)
+            mode = (
+                "bytes32"
+                if roots.dtype == np.uint8 or (roots >= (1 << 31) - 1).any()
+                else "m31x8"
+            )
+            same = serialize_plonk_with_poseidon_proof(
+                aggregate, mode
+            ) == serialize_plonk_with_poseidon_proof(ref, mode)
+            append_log({
+                "level": level, "force_reprove": True, "bit_exact": same,
+            })
+            print(f"level {level}: force re-prove bit-exact={same}",
+                  flush=True)
+            assert same, f"level {level} diverged from committed artifact"
+            continue
         if os.path.exists(out_path):
             print(f"level {level}: {outp}.pkl exists, skipping", flush=True)
             continue

@@ -69,6 +69,9 @@ def _jnp():
                 "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
             ),
         )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0
+        )
     except Exception:
         pass
     return jnp

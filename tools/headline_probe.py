@@ -2,6 +2,9 @@ import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update(
+    "jax_persistent_cache_min_compile_time_secs", 0.0
+)
 import jax.numpy as jnp
 import numpy as np
 from recursive_stwo_tpu.models.flagship import prepared_arrays, tiled_batch

@@ -107,6 +107,9 @@ def main():
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"),
     )
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 0.0
+    )
     n_workers = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     t0 = time.time()
     jobs = list(COMBOS)
