@@ -29,7 +29,6 @@ from . import hints as hints_mod
 from . import points, sha256_merkle
 from .spec import VerifierSpec
 from .transcript import FSOutput
-from .verify import _q_const
 
 
 def _q1(felt4) -> QM31:
@@ -132,16 +131,8 @@ def verify_sha256p31_host(
         fs.pow_digest0 & np.uint32((1 << spec.pow_bits) - 1)
     ) == 0
 
-    like = fs.z.a
-    input_sum = q.q_zero(like)
-    for idx, val in inputs:
-        term = q.q_sub(
-            q.q_add(_q_const(val, like), q.q_mul_m31(fs.alpha, np.uint32(idx))),
-            fs.z,
-        )
-        input_sum = q.q_add(input_sum, q.q_inv(term))
     total = q.q_add(
-        q.q_add(input_sum, _q1(proof.plonk_total_sum)),
+        q.q_add(_input_sum(fs, inputs), _q1(proof.plonk_total_sum)),
         _q1(proof.poseidon_total_sum),
     )
     checks["total_sum"] = (
@@ -278,15 +269,7 @@ def verify_sha256np_host(
         fs.pow_digest0 & np.uint32((1 << spec.pow_bits) - 1)
     ) == 0
 
-    like = fs.z.a
-    input_sum = q.q_zero(like)
-    for idx, val in inputs:
-        term = q.q_sub(
-            q.q_add(_q_const(val, like), q.q_mul_m31(fs.alpha, np.uint32(idx))),
-            fs.z,
-        )
-        input_sum = q.q_add(input_sum, q.q_inv(term))
-    total = q.q_add(input_sum, _q1(proof.total_sum))
+    total = q.q_add(_input_sum(fs, inputs), _q1(proof.total_sum))
     checks["total_sum"] = (
         (total.a == 0) & (total.b == 0) & (total.c == 0) & (total.d == 0)
     )
